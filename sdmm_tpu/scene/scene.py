@@ -1,0 +1,216 @@
+"""Scene container: host-side builder → device SoA arrays.
+
+TPU-native equivalent of the reference's ``Scene``
+(reference: mitsuba/src/librender/scene.cpp): instead of a shape list with
+virtual dispatch and a kd-tree, the whole scene is lowered to flat arrays —
+triangles, per-triangle BSDF/emitter ids, a BSDF parameter table, and an
+emissive-triangle CDF for next-event estimation
+(reference: Scene::sampleEmitterDirect, mitsuba/src/librender/scene.cpp).
+``SceneData`` is a pytree of jnp arrays; static quantities (image size,
+triangle count) live in ``RenderConfig``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.aabb import AABB
+from ..core.spectrum import luminance
+from .shapes import TriSoup
+
+# BSDF type codes (wavefront dispatch masks; reference plugin equivalents in
+# mitsuba/src/bsdfs/).
+BSDF_DIFFUSE = 0
+BSDF_CONDUCTOR = 1  # smooth, delta
+BSDF_DIELECTRIC = 2  # smooth, delta
+BSDF_ROUGHCONDUCTOR = 3
+BSDF_PHONG = 4
+BSDF_ROUGHPLASTIC = 5
+BSDF_ROUGHDIELECTRIC = 6
+BSDF_NULL = 7
+BSDF_PLASTIC = 8
+
+DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
+
+
+class SceneData(NamedTuple):
+    """Device-side scene; every field is an array (jit-traceable pytree)."""
+
+    # Triangles.
+    tri_v0: jnp.ndarray  # [T, 3]
+    tri_e1: jnp.ndarray  # [T, 3]
+    tri_e2: jnp.ndarray  # [T, 3]
+    tri_ng: jnp.ndarray  # [T, 3] geometric normal
+    tri_ns: jnp.ndarray  # [T, 3, 3] per-vertex shading normals
+    tri_bsdf: jnp.ndarray  # [T] int32
+    tri_emitter: jnp.ndarray  # [T] int32, -1 if not emissive
+    # BSDF table.
+    bsdf_type: jnp.ndarray  # [B] int32
+    bsdf_albedo: jnp.ndarray  # [B, 3] diffuse reflectance
+    bsdf_specular: jnp.ndarray  # [B, 3] specular reflectance / tint
+    bsdf_alpha: jnp.ndarray  # [B] roughness
+    bsdf_eta: jnp.ndarray  # [B] rel. IOR (int/ext)
+    bsdf_k: jnp.ndarray  # [B, 3] conductor absorption
+    bsdf_exponent: jnp.ndarray  # [B] phong exponent
+    # Emitters.
+    emitter_radiance: jnp.ndarray  # [E, 3]
+    em_tri_idx: jnp.ndarray  # [M] triangle ids of emissive tris
+    em_tri_cdf: jnp.ndarray  # [M] CDF over emissive tris (by power)
+    em_tri_pdf: jnp.ndarray  # [M] discrete probability of each tri
+    em_tri_area: jnp.ndarray  # [M]
+    env_radiance: jnp.ndarray  # [3] constant environment (zeros = none)
+    # Sensor.
+    cam_to_world: jnp.ndarray  # [4, 4]
+    cam_tan_half_fov: jnp.ndarray  # [] tan(fov_x / 2)
+    # Normalization domain for guiding.
+    aabb_lo: jnp.ndarray  # [3]
+    aabb_hi: jnp.ndarray  # [3]
+
+
+@dataclass
+class RenderConfig:
+    """Static render parameters (shape-determining; not traced)."""
+
+    width: int = 256
+    height: int = 256
+    max_depth: int = 10
+    rr_depth: int = 10
+    nee: bool = True
+    strict_normals: bool = True
+    fov_axis: str = "x"
+
+
+@dataclass
+class SceneBuilder:
+    soups: list[tuple[TriSoup, int, int]] = field(default_factory=list)
+    bsdfs: list[dict] = field(default_factory=list)
+    bsdf_ids: dict = field(default_factory=dict)
+    emitters: list[np.ndarray] = field(default_factory=list)
+    env_radiance: np.ndarray | None = None
+    cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
+    fov_deg: float = 45.0
+    fov_axis: str = "x"
+    width: int = 256
+    height: int = 256
+    sample_count: int = 16
+    seed: int = 1234
+    max_depth: int = 10
+    rr_depth: int = 10
+    integrator: dict = field(default_factory=dict)
+
+    def add_bsdf(self, btype: int, name: str | None = None, **params) -> int:
+        entry = dict(
+            type=btype,
+            albedo=np.asarray(params.get("albedo", [0.5, 0.5, 0.5]), dtype=np.float64),
+            specular=np.asarray(params.get("specular", [1.0, 1.0, 1.0]), dtype=np.float64),
+            alpha=float(params.get("alpha", 0.1)),
+            eta=float(params.get("eta", 1.5046)),
+            k=np.asarray(params.get("k", [0.0, 0.0, 0.0]), dtype=np.float64),
+            exponent=float(params.get("exponent", 30.0)),
+        )
+        self.bsdfs.append(entry)
+        idx = len(self.bsdfs) - 1
+        if name is not None:
+            self.bsdf_ids[name] = idx
+        return idx
+
+    def add_emitter(self, radiance: np.ndarray) -> int:
+        self.emitters.append(np.asarray(radiance, dtype=np.float64))
+        return len(self.emitters) - 1
+
+    def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1):
+        self.soups.append((soup, bsdf, emitter))
+
+    def set_sensor(self, to_world: np.ndarray, fov_deg: float, width: int, height: int,
+                   fov_axis: str = "x"):
+        self.cam_to_world = np.asarray(to_world, dtype=np.float64)
+        self.fov_deg = float(fov_deg)
+        self.width = int(width)
+        self.height = int(height)
+        self.fov_axis = fov_axis
+
+    def build(self, pad_tris_to: int | None = None) -> tuple[SceneData, RenderConfig]:
+        all_v, all_n, all_b, all_e = [], [], [], []
+        for soup, bsdf_i, emitter_i in self.soups:
+            v, n = soup.concat()
+            all_v.append(v)
+            all_n.append(n)
+            all_b.append(np.full(len(v), bsdf_i, dtype=np.int32))
+            all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
+        verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3))
+        normals = np.concatenate(all_n) if all_n else np.zeros((0, 3, 3))
+        tri_bsdf = np.concatenate(all_b) if all_b else np.zeros(0, np.int32)
+        tri_emitter = np.concatenate(all_e) if all_e else np.zeros(0, np.int32)
+
+        v0 = verts[:, 0]
+        e1 = verts[:, 1] - verts[:, 0]
+        e2 = verts[:, 2] - verts[:, 0]
+        ng = np.cross(e1, e2)
+        area2 = np.linalg.norm(ng, axis=-1)
+        ng = ng / np.maximum(area2[:, None], 1e-20)
+
+        # Emissive triangle CDF, weighted by power (area × luminance), matching
+        # the reference's power-weighted emitter CDF (librender/scene.cpp).
+        em_mask = tri_emitter >= 0
+        em_idx = np.nonzero(em_mask)[0].astype(np.int32)
+        if len(em_idx) > 0:
+            areas = 0.5 * area2[em_idx]
+            rad = np.array([self.emitters[tri_emitter[i]] for i in em_idx])
+            power = areas * np.maximum(luminance(rad), 1e-20)
+            pdf = power / power.sum()
+            cdf = np.cumsum(pdf)
+        else:
+            areas = np.zeros(0)
+            pdf = np.zeros(0)
+            cdf = np.zeros(0)
+
+        aabb = AABB.empty()
+        if len(verts):
+            aabb = aabb.expand(verts)
+
+        # Pad triangle count (keeps jit shapes stable across scene edits).
+        T = len(v0)
+        if pad_tris_to is not None and pad_tris_to > T:
+            pad = pad_tris_to - T
+            v0 = np.concatenate([v0, np.zeros((pad, 3))])
+            e1 = np.concatenate([e1, np.zeros((pad, 3))])
+            e2 = np.concatenate([e2, np.zeros((pad, 3))])
+            ng = np.concatenate([ng, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
+            normals = np.concatenate([normals, np.tile(np.eye(3)[None, 2:3], (pad, 3, 1)).reshape(pad, 3, 3)])
+            tri_bsdf = np.concatenate([tri_bsdf, np.zeros(pad, np.int32)])
+            tri_emitter = np.concatenate([tri_emitter, np.full(pad, -1, np.int32)])
+
+        if not self.bsdfs:
+            self.add_bsdf(BSDF_DIFFUSE)
+        f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
+        i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
+        fov = np.deg2rad(self.fov_deg)
+        data = SceneData(
+            tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2), tri_ng=f32(ng),
+            tri_ns=f32(normals), tri_bsdf=i32(tri_bsdf), tri_emitter=i32(tri_emitter),
+            bsdf_type=i32([b["type"] for b in self.bsdfs]),
+            bsdf_albedo=f32([b["albedo"] for b in self.bsdfs]),
+            bsdf_specular=f32([b["specular"] for b in self.bsdfs]),
+            bsdf_alpha=f32([b["alpha"] for b in self.bsdfs]),
+            bsdf_eta=f32([b["eta"] for b in self.bsdfs]),
+            bsdf_k=f32([b["k"] for b in self.bsdfs]),
+            bsdf_exponent=f32([b["exponent"] for b in self.bsdfs]),
+            emitter_radiance=f32(np.asarray(self.emitters).reshape(-1, 3))
+            if self.emitters else f32(np.zeros((1, 3))),
+            em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),
+            em_tri_area=f32(areas),
+            env_radiance=f32(self.env_radiance if self.env_radiance is not None else np.zeros(3)),
+            cam_to_world=f32(self.cam_to_world),
+            cam_tan_half_fov=f32(np.tan(0.5 * fov)),
+            aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),
+            aabb_hi=f32(aabb.hi if len(verts) else np.ones(3)),
+        )
+        cfg = RenderConfig(
+            width=self.width, height=self.height, max_depth=self.max_depth,
+            rr_depth=self.rr_depth, fov_axis=self.fov_axis,
+        )
+        return data, cfg

@@ -1,0 +1,184 @@
+"""Host-side shape → triangle-soup generation.
+
+TPU-native replacement for the reference's shape plugins
+(reference: mitsuba/src/shapes/{rectangle,cube,sphere,obj}.cpp): every shape
+is lowered at load time to a flat triangle SoA that the wavefront intersector
+consumes. Analytic shapes are tessellated; the unit-shape conventions match
+Mitsuba 0.6 (rectangle: [-1,1]^2 in the xy-plane, +z normal; cube: [-1,1]^3;
+sphere: unit radius at origin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _transform_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ m[:3, :3].T + m[:3, 3]
+
+
+def _transform_normals(m: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    inv_t = np.linalg.inv(m[:3, :3]).T
+    out = ns @ inv_t.T
+    norms = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(norms, 1e-20)
+
+
+class TriSoup:
+    """Accumulates triangles: vertices [T,3,3], shading normals [T,3,3]."""
+
+    def __init__(self):
+        self.verts: list[np.ndarray] = []
+        self.normals: list[np.ndarray] = []
+
+    def add(self, verts: np.ndarray, normals: np.ndarray | None = None):
+        verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3, 3)
+        if normals is None:
+            e1 = verts[:, 1] - verts[:, 0]
+            e2 = verts[:, 2] - verts[:, 0]
+            n = np.cross(e1, e2)
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+            normals = np.repeat(n[:, None, :], 3, axis=1)
+        self.verts.append(verts)
+        self.normals.append(np.asarray(normals, dtype=np.float64).reshape(-1, 3, 3))
+
+    def concat(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.verts:
+            return np.zeros((0, 3, 3)), np.zeros((0, 3, 3))
+        return np.concatenate(self.verts), np.concatenate(self.normals)
+
+
+def make_rectangle(to_world: np.ndarray, flip_normals: bool = False) -> TriSoup:
+    corners = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], dtype=np.float64
+    )
+    tris = np.array([[corners[0], corners[1], corners[2]],
+                     [corners[0], corners[2], corners[3]]])
+    n = np.array([[0.0, 0.0, 1.0]])
+    world = _transform_points(to_world, tris.reshape(-1, 3)).reshape(-1, 3, 3)
+    wn = _transform_normals(to_world, n)
+    if flip_normals:
+        wn = -wn
+        world = world[:, ::-1, :]
+    soup = TriSoup()
+    soup.add(world, np.repeat(np.repeat(wn[None], 3, axis=1), 2, axis=0).reshape(-1, 3, 3))
+    return soup
+
+
+def make_cube(to_world: np.ndarray, flip_normals: bool = False) -> TriSoup:
+    soup = TriSoup()
+    # Six faces of [-1,1]^3, outward normals.
+    faces = [
+        # (axis, sign)
+        (0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1),
+    ]
+    for axis, sign in faces:
+        u_axis, v_axis = [a for a in range(3) if a != axis]
+        corners = np.zeros((4, 3))
+        corners[:, axis] = sign
+        uv = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], dtype=np.float64)
+        if sign < 0:
+            uv = uv[:, ::-1]
+        corners[:, u_axis] = uv[:, 0]
+        corners[:, v_axis] = uv[:, 1]
+        tris = np.array([[corners[0], corners[1], corners[2]],
+                         [corners[0], corners[2], corners[3]]])
+        world = _transform_points(to_world, tris.reshape(-1, 3)).reshape(-1, 3, 3)
+        if flip_normals:
+            world = world[:, ::-1, :]
+        soup.add(world)
+    return soup
+
+
+def make_sphere(
+    center: np.ndarray,
+    radius: float,
+    to_world: np.ndarray | None = None,
+    n_theta: int = 32,
+    n_phi: int = 64,
+    flip_normals: bool = False,
+) -> TriSoup:
+    """Tessellated UV sphere with smooth shading normals."""
+    theta = np.linspace(0.0, np.pi, n_theta + 1)
+    phi = np.linspace(0.0, 2 * np.pi, n_phi + 1)
+    t, p = np.meshgrid(theta, phi, indexing="ij")
+    pts = np.stack(
+        [np.sin(t) * np.cos(p), np.sin(t) * np.sin(p), np.cos(t)], axis=-1
+    )
+    verts, normals = [], []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            quad = [pts[i, j], pts[i + 1, j], pts[i + 1, j + 1], pts[i, j + 1]]
+            for tri in ([quad[0], quad[1], quad[2]], [quad[0], quad[2], quad[3]]):
+                tri = np.asarray(tri)
+                # Degenerate at poles.
+                if np.linalg.norm(np.cross(tri[1] - tri[0], tri[2] - tri[0])) < 1e-12:
+                    continue
+                verts.append(tri)
+                normals.append(tri.copy())
+    verts = np.asarray(verts) * radius + np.asarray(center)
+    normals = np.asarray(normals)
+    if to_world is not None:
+        verts = _transform_points(to_world, verts.reshape(-1, 3)).reshape(-1, 3, 3)
+        normals = _transform_normals(to_world, normals.reshape(-1, 3)).reshape(-1, 3, 3)
+    if flip_normals:
+        normals = -normals
+        verts = verts[:, ::-1, :]
+    soup = TriSoup()
+    soup.add(verts, normals)
+    return soup
+
+
+def load_obj(
+    path: str, to_world: np.ndarray | None = None, flip_normals: bool = False,
+    face_normals: bool = False,
+) -> TriSoup:
+    """Minimal OBJ loader (v/vn/f with polygon fan triangulation).
+
+    Replacement for the reference's obj.cpp shape plugin.
+    """
+    vs: list[list[float]] = []
+    vns: list[list[float]] = []
+    faces: list[list[tuple[int, int]]] = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                vs.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vn "):
+                vns.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    parts = tok.split("/")
+                    vi = int(parts[0])
+                    ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                    idx.append((vi, ni))
+                faces.append(idx)
+    v = np.asarray(vs, dtype=np.float64)
+    vn = np.asarray(vns, dtype=np.float64) if vns else None
+
+    def res(i, n):
+        return i - 1 if i > 0 else n + i
+
+    tri_v, tri_n = [], []
+    for face in faces:
+        for k in range(1, len(face) - 1):
+            ids = [face[0], face[k], face[k + 1]]
+            pv = np.array([v[res(i, len(v))] for i, _ in ids])
+            tri_v.append(pv)
+            if vn is not None and not face_normals and all(ni != 0 for _, ni in ids):
+                tri_n.append(np.array([vn[res(ni, len(vn))] for _, ni in ids]))
+            else:
+                tri_n.append(None)
+    soup = TriSoup()
+    for pv, pn in zip(tri_v, tri_n):
+        if to_world is not None:
+            pv = _transform_points(to_world, pv)
+            if pn is not None:
+                pn = _transform_normals(to_world, pn)
+        if flip_normals:
+            pv = pv[::-1]
+            if pn is not None:
+                pn = -pn[::-1]
+        soup.add(pv[None], None if pn is None else pn[None])
+    return soup

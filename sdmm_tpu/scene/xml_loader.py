@@ -1,0 +1,318 @@
+"""Mitsuba 0.6 scene-XML subset loader.
+
+Equivalent of the reference's SceneHandler SAX loader
+(reference: mitsuba/src/librender/scenehandler.cpp with ``<default>``,
+``$var`` substitution and ``<include>``) so the reference test-suite scenes
+(/root/reference/test-suite/scenes) load directly. Supported subset: the
+plugins the test scenes use — perspective sensor, hdrfilm, independent
+sampler, rectangle/cube/sphere/obj shapes, diffuse/conductor/dielectric/
+roughconductor/phong/twosided BSDFs, area/constant emitters.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..core.spectrum import interpolated_spectrum_to_rgb
+from . import shapes as shp
+from .scene import (
+    BSDF_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_DIFFUSE,
+    BSDF_PHONG,
+    BSDF_ROUGHCONDUCTOR,
+    SceneBuilder,
+)
+
+# A few named conductor/dielectric materials (subset of the reference's
+# data/ior tables, mitsuba/src/bsdfs/ior.cpp).
+CONDUCTOR_IOR = {
+    "Cu": ([0.200438, 0.924033, 1.102212], [3.912949, 2.447786, 2.142188]),
+    "Au": ([0.143085, 0.374852, 1.442371], [3.982205, 2.385723, 1.603215]),
+    "Ag": ([0.155184, 0.116677, 0.138372], [4.827917, 3.122335, 2.146190]),
+    "Al": ([1.657460, 0.880369, 0.521229], [9.223869, 6.269523, 4.837001]),
+    "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+}
+DIELECTRIC_IOR = {
+    "vacuum": 1.0, "air": 1.000277, "water": 1.3330, "glass": 1.5046,
+    "bk7": 1.5046, "diamond": 2.419, "polypropylene": 1.49,
+}
+
+
+def _subst(text: str, variables: dict) -> str:
+    def repl(m):
+        name = m.group(1)
+        if name not in variables:
+            raise KeyError(f"Undefined scene variable ${name}")
+        return str(variables[name])
+
+    return re.sub(r"\$(\w+)", repl, text)
+
+
+def _parse_value(el, variables):
+    return _subst(el.get("value", ""), variables)
+
+
+def _parse_rgb(text: str) -> np.ndarray:
+    vals = [float(x) for x in re.split(r"[,\s]+", text.strip()) if x]
+    if len(vals) == 1:
+        vals = vals * 3
+    return np.asarray(vals[:3])
+
+
+def _parse_spectrum(text: str) -> np.ndarray:
+    text = text.strip()
+    if ":" in text:
+        pairs = [p for p in re.split(r"[,\s]+", text) if p]
+        wl, vv = [], []
+        for p in pairs:
+            a, b = p.split(":")
+            wl.append(float(a))
+            vv.append(float(b))
+        return interpolated_spectrum_to_rgb(np.asarray(wl), np.asarray(vv))
+    return _parse_rgb(text)
+
+
+def _parse_transform(el, variables) -> np.ndarray:
+    m = np.eye(4)
+    for child in el:
+        tag = child.tag
+        if tag == "matrix":
+            vals = [float(x) for x in _parse_value(child, variables).split()]
+            m = np.asarray(vals).reshape(4, 4) @ m
+        elif tag == "translate":
+            t = np.eye(4)
+            for i, ax in enumerate("xyz"):
+                t[i, 3] = float(_subst(child.get(ax, "0"), variables))
+            m = t @ m
+        elif tag == "scale":
+            s = np.eye(4)
+            if child.get("value") is not None:
+                v = float(_parse_value(child, variables))
+                s[0, 0] = s[1, 1] = s[2, 2] = v
+            else:
+                for i, ax in enumerate("xyz"):
+                    s[i, i] = float(_subst(child.get(ax, "1"), variables))
+            m = s @ m
+        elif tag == "rotate":
+            axis = np.array(
+                [float(_subst(child.get(ax, "0"), variables)) for ax in "xyz"]
+            )
+            axis = axis / np.linalg.norm(axis)
+            ang = np.deg2rad(float(_subst(child.get("angle", "0"), variables)))
+            c, s_, x, y, z = np.cos(ang), np.sin(ang), *axis
+            r = np.eye(4)
+            r[:3, :3] = np.array([
+                [c + x * x * (1 - c), x * y * (1 - c) - z * s_, x * z * (1 - c) + y * s_],
+                [y * x * (1 - c) + z * s_, c + y * y * (1 - c), y * z * (1 - c) - x * s_],
+                [z * x * (1 - c) - y * s_, z * y * (1 - c) + x * s_, c + z * z * (1 - c)],
+            ])
+            m = r @ m
+        elif tag == "lookat":
+            origin = _parse_rgb(_subst(child.get("origin"), variables))
+            target = _parse_rgb(_subst(child.get("target"), variables))
+            up = _parse_rgb(_subst(child.get("up", "0, 1, 0"), variables))
+            d = target - origin
+            d = d / np.linalg.norm(d)
+            left = np.cross(up / np.linalg.norm(up), d)
+            left /= np.linalg.norm(left)
+            new_up = np.cross(d, left)
+            l = np.eye(4)
+            l[:3, 0] = left
+            l[:3, 1] = new_up
+            l[:3, 2] = d
+            l[:3, 3] = origin
+            m = l @ m
+    return m
+
+
+def _props(el, variables) -> dict:
+    """Collect typed child properties (float/integer/boolean/string/rgb/spectrum)."""
+    out = {}
+    for child in el:
+        tag = child.tag
+        name = child.get("name")
+        if tag in ("float", "integer"):
+            out[name] = float(_parse_value(child, variables))
+        elif tag == "boolean":
+            out[name] = _parse_value(child, variables).lower() == "true"
+        elif tag == "string":
+            out[name] = _parse_value(child, variables)
+        elif tag == "rgb":
+            out[name] = _parse_rgb(_parse_value(child, variables))
+        elif tag == "spectrum":
+            out[name] = _parse_spectrum(_parse_value(child, variables))
+        elif tag == "transform":
+            out[name] = _parse_transform(child, variables)
+    return out
+
+
+class XMLLoader:
+    def __init__(self, overrides: dict | None = None):
+        self.variables = dict(overrides or {})
+        self.overrides = dict(overrides or {})
+        self.builder = SceneBuilder()
+        self.base_dir = "."
+
+    def load(self, path: str) -> SceneBuilder:
+        self.base_dir = os.path.dirname(os.path.abspath(path))
+        root = ET.parse(path).getroot()
+        self._scene(root, self.base_dir)
+        return self.builder
+
+    def _scene(self, root, base_dir):
+        for el in root:
+            tag = el.tag
+            if tag == "default":
+                name = el.get("name")
+                if name not in self.overrides:
+                    self.variables.setdefault(name, el.get("value"))
+            elif tag == "include":
+                fname = _subst(el.get("filename"), self.variables)
+                sub = os.path.join(base_dir, fname)
+                sub_root = ET.parse(sub).getroot()
+                self._scene(sub_root, os.path.dirname(sub))
+            elif tag == "integrator":
+                self.builder.integrator = {
+                    "type": _subst(el.get("type"), self.variables),
+                    **_props(el, self.variables),
+                }
+                p = self.builder.integrator
+                self.builder.max_depth = int(p.get("maxDepth", 10))
+                self.builder.rr_depth = int(p.get("rrDepth", self.builder.max_depth))
+            elif tag == "sensor":
+                self._sensor(el)
+            elif tag == "bsdf":
+                self._bsdf(el, top=True)
+            elif tag == "shape":
+                self._shape(el, base_dir)
+            elif tag == "emitter":
+                p = _props(el, self.variables)
+                if el.get("type") == "constant":
+                    self.builder.env_radiance = np.asarray(
+                        p.get("radiance", np.ones(3))
+                    ).reshape(3)
+
+    def _sensor(self, el):
+        p = _props(el, self.variables)
+        width, height = 256, 256
+        for sub in el:
+            if sub.tag == "film":
+                fp = _props(sub, self.variables)
+                width = int(fp.get("width", 256))
+                height = int(fp.get("height", 256))
+            elif sub.tag == "sampler":
+                sp = _props(sub, self.variables)
+                self.builder.sample_count = int(sp.get("sampleCount", 16))
+                self.builder.seed = int(sp.get("seed", 1234))
+        self.builder.set_sensor(
+            to_world=p.get("toWorld", np.eye(4)),
+            fov_deg=float(p.get("fov", 45.0)),
+            width=width,
+            height=height,
+            fov_axis=p.get("fovAxis", "x"),
+        )
+
+    def _bsdf(self, el, top=False) -> int:
+        btype = _subst(el.get("type"), self.variables)
+        name = el.get("id")
+        p = _props(el, self.variables)
+        if btype == "twosided":
+            # Reflective models are implicitly two-sided in this framework
+            # (shading_frame flips); unwrap the child.
+            child = next(sub for sub in el if sub.tag == "bsdf")
+            idx = self._bsdf(child)
+            if name is not None:
+                self.builder.bsdf_ids[name] = idx
+            return idx
+        kwargs = {}
+        if btype == "diffuse":
+            code = BSDF_DIFFUSE
+            kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
+        elif btype in ("conductor", "roughconductor"):
+            mat = p.get("material", "Cu")
+            eta_k = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["Cu"])
+            eta_rgb = np.asarray(p.get("eta", eta_k[0]))
+            k_rgb = np.asarray(p.get("k", eta_k[1]))
+            code = BSDF_CONDUCTOR if btype == "conductor" else BSDF_ROUGHCONDUCTOR
+            kwargs["specular"] = p.get("specularReflectance", np.ones(3))
+            kwargs["eta"] = float(np.mean(eta_rgb))
+            kwargs["k"] = k_rgb
+            kwargs["alpha"] = float(p.get("alpha", 0.1))
+        elif btype in ("dielectric", "roughdielectric", "thindielectric"):
+            int_ior = p.get("intIOR", "bk7")
+            ext_ior = p.get("extIOR", "air")
+            int_v = DIELECTRIC_IOR.get(int_ior, None) if isinstance(int_ior, str) else float(int_ior)
+            ext_v = DIELECTRIC_IOR.get(ext_ior, None) if isinstance(ext_ior, str) else float(ext_ior)
+            int_v = 1.5046 if int_v is None else int_v
+            ext_v = 1.000277 if ext_v is None else ext_v
+            code = BSDF_DIELECTRIC
+            kwargs["eta"] = int_v / ext_v
+            kwargs["specular"] = p.get("specularReflectance", np.ones(3))
+            kwargs["albedo"] = p.get("specularTransmittance", np.ones(3))
+        elif btype == "phong":
+            code = BSDF_PHONG
+            kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
+            kwargs["specular"] = p.get("specularReflectance", np.full(3, 0.2))
+            kwargs["exponent"] = float(p.get("exponent", 30.0))
+        elif btype in ("roughplastic", "plastic"):
+            # Approximated as diffuse + GGX coat is future work; use phong-ish
+            # fallback: diffuse base for now.
+            code = BSDF_DIFFUSE
+            kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
+        else:
+            code = BSDF_DIFFUSE
+            kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
+        return self.builder.add_bsdf(code, name=name, **kwargs)
+
+    def _shape(self, el, base_dir):
+        stype = _subst(el.get("type"), self.variables)
+        p = _props(el, self.variables)
+        to_world = p.get("toWorld", np.eye(4))
+        flip = bool(p.get("flipNormals", False))
+
+        bsdf_idx = None
+        emitter_idx = -1
+        for sub in el:
+            if sub.tag == "ref":
+                ref_id = sub.get("id")
+                if ref_id in self.builder.bsdf_ids:
+                    bsdf_idx = self.builder.bsdf_ids[ref_id]
+            elif sub.tag == "bsdf":
+                bsdf_idx = self._bsdf(sub)
+            elif sub.tag == "emitter" and sub.get("type") == "area":
+                ep = _props(sub, self.variables)
+                rad = np.asarray(ep.get("radiance", np.ones(3))).reshape(3)
+                emitter_idx = self.builder.add_emitter(rad)
+        if bsdf_idx is None:
+            bsdf_idx = self.builder.add_bsdf(BSDF_DIFFUSE, albedo=np.full(3, 0.5))
+
+        if stype == "rectangle":
+            soup = shp.make_rectangle(to_world, flip)
+        elif stype == "cube":
+            soup = shp.make_cube(to_world, flip)
+        elif stype == "sphere":
+            center = np.zeros(3)
+            for sub in el:
+                if sub.tag == "point" and sub.get("name") == "center":
+                    center = np.array(
+                        [float(_subst(sub.get(ax, "0"), self.variables)) for ax in "xyz"]
+                    )
+            radius = float(p.get("radius", 1.0))
+            soup = shp.make_sphere(center, radius, to_world, flip_normals=flip)
+        elif stype == "obj":
+            fname = os.path.join(base_dir, p.get("filename"))
+            soup = shp.load_obj(
+                fname, to_world, flip, face_normals=bool(p.get("faceNormals", False))
+            )
+        else:
+            return  # unsupported shape type: skip
+        self.builder.add_shape(soup, bsdf_idx, emitter_idx)
+
+
+def load_scene(path: str, overrides: dict | None = None) -> SceneBuilder:
+    return XMLLoader(overrides).load(path)
