@@ -1,0 +1,352 @@
+"""Spatio-directional Gaussian mixtures, batched ``[L leaves, K components]``.
+
+TPU-native re-implementation of the missing ``sdmm`` submodule's mixture core
+(API surface: SURVEY.md §2.3; math spec:
+jmm/multivariate_tangent_normal.h MultivariateTangentNormal — pdf :367,
+sample :321, precomputeConditioning :387, conditional :417;
+jmm/mixture_model.h posteriorAndLog :146). The 5-D model: 3 Euclidean
+(canonical position) + 2 tangent dims at a unit mean direction on S².
+
+Instead of enoki SoA packets over components, everything is a dense
+``[L, K, ...]`` array; dead components carry weight 0 (the reference kills
+components the same way, stepwise_tangent.h:750-753). All ops are pure JAX
+and differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import warp
+from . import tangent as tg
+
+INV_SQRT_TWO_PI = 0.3989422804014327
+
+
+class SDMM(NamedTuple):
+    """Primary mixture parameters (the trainable state)."""
+
+    weight: jnp.ndarray  # [L, K], normalized per leaf over alive components
+    mean: jnp.ndarray  # [L, K, 6] embedded: canonical pos (3) + unit dir (3)
+    cov: jnp.ndarray  # [L, K, 5, 5] joint tangent covariance
+
+
+class Prepared(NamedTuple):
+    """Derived quantities recomputed after every EM update
+    (reference: sdmm::prepare, volpath_sdmm.cpp:237,307)."""
+
+    rot: jnp.ndarray  # [L, K, 3, 3] tangent frame at dir mean
+    chol: jnp.ndarray  # [L, K, 5, 5] lower Cholesky of cov
+    inv_chol: jnp.ndarray  # [L, K, 5, 5]
+    inv_det_chol: jnp.ndarray  # [L, K] = 1/prod(diag chol) = det(cov)^-1/2
+    mu_a: jnp.ndarray  # [L, K, 3] spatial mean
+    premult: jnp.ndarray  # [L, K, 2, 3] Σ_BA Σ_AA⁻¹
+    cond_chol: jnp.ndarray  # [L, K, 2, 2] Cholesky of conditional cov
+    cond_inv_chol: jnp.ndarray  # [L, K, 2, 2]
+    cond_inv_det: jnp.ndarray  # [L, K]
+    marg_inv_chol: jnp.ndarray  # [L, K, 3, 3] inv Cholesky of Σ_AA
+    marg_inv_det: jnp.ndarray  # [L, K]
+    valid: jnp.ndarray  # [L, K] alive & numerically sound
+
+
+def _tri_inv(chol: jnp.ndarray) -> jnp.ndarray:
+    """Batched lower-triangular inverse."""
+    n = chol.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n), chol.shape)
+    fn = lambda l, i: jax.scipy.linalg.solve_triangular(l, i, lower=True)
+    for _ in range(chol.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(chol, eye)
+
+
+def _chol_safe(cov: jnp.ndarray, alive: jnp.ndarray):
+    """Cholesky with dead/non-PD masking; returns (chol, ok)."""
+    eye = jnp.eye(cov.shape[-1])
+    safe_cov = jnp.where(alive[..., None, None], cov, eye)
+    chol = jnp.linalg.cholesky(safe_cov)
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    ok = jnp.all(jnp.isfinite(chol), axis=(-2, -1)) & jnp.all(diag > 0.0, axis=-1)
+    chol = jnp.where(ok[..., None, None], chol, eye)
+    return chol, ok & alive
+
+
+def prepare(m: SDMM) -> Prepared:
+    alive = m.weight > 0.0
+    rot = tg.make_rotation(m.mean[..., 3:6])
+    chol, ok = _chol_safe(m.cov, alive)
+    inv_chol = _tri_inv(chol)
+    inv_det = 1.0 / jnp.prod(jnp.diagonal(chol, axis1=-2, axis2=-1), axis=-1)
+
+    cov_aa = m.cov[..., :3, :3]
+    cov_ab = m.cov[..., :3, 3:]
+    cov_ba = m.cov[..., 3:, :3]
+    cov_bb = m.cov[..., 3:, 3:]
+    marg_chol, marg_ok = _chol_safe(cov_aa, alive)
+    marg_inv_chol = _tri_inv(marg_chol)
+    marg_inv_det = 1.0 / jnp.prod(
+        jnp.diagonal(marg_chol, axis1=-2, axis2=-1), axis=-1
+    )
+    # Σ_AA⁻¹ = inv_cholᵀ · inv_chol
+    cov_aa_inv = jnp.einsum("...ji,...jk->...ik", marg_inv_chol, marg_inv_chol)
+    premult = jnp.einsum("...ij,...jk->...ik", cov_ba, cov_aa_inv)
+    cond_cov = cov_bb - jnp.einsum("...ij,...jk->...ik", premult, cov_ab)
+    cond_chol, cond_ok = _chol_safe(cond_cov, alive)
+    cond_inv_chol = _tri_inv(cond_chol)
+    cond_inv_det = 1.0 / jnp.prod(
+        jnp.diagonal(cond_chol, axis1=-2, axis2=-1), axis=-1
+    )
+    return Prepared(
+        rot=rot, chol=chol, inv_chol=inv_chol, inv_det_chol=inv_det,
+        mu_a=m.mean[..., :3], premult=premult,
+        cond_chol=cond_chol, cond_inv_chol=cond_inv_chol,
+        cond_inv_det=cond_inv_det,
+        marg_inv_chol=marg_inv_chol, marg_inv_det=marg_inv_det,
+        valid=ok & marg_ok & cond_ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joint 5-D pdf / posterior (spec: pdfAndLog, multivariate_tangent_normal.h:350)
+# ---------------------------------------------------------------------------
+
+
+def joint_tangent(mean, rot, pos, d):
+    """Per-component joint tangent coords of a sample.
+
+    mean/rot: [..., K, 6] / [..., K, 3, 3]; pos/d: [..., 3].
+    Returns (t [..., K, 5] with ABSOLUTE spatial coords, log_jac [..., K],
+    valid [..., K]) — matching the reference's convention of re-adding the
+    spatial mean to the tangent vector (pdfAndLog :362-364).
+    """
+    t_dir, aos, valid = tg.log_map(rot, d[..., None, :])
+    t = jnp.concatenate(
+        [jnp.broadcast_to(pos[..., None, :], mean[..., :3].shape), t_dir], axis=-1
+    )
+    return t, aos, valid
+
+
+def component_pdf(mean, inv_chol, inv_det, rot, pos, d):
+    """Per-component joint pdf and tangent coords.
+
+    Returns (pdf [..., K], t_abs [..., K, 5]).
+    """
+    t_abs, aos, valid = joint_tangent(mean, rot, pos, d)
+    centered = t_abs.at[..., :3].add(-mean[..., :3])
+    z = jnp.einsum("...ij,...j->...i", inv_chol, centered)
+    norm = INV_SQRT_TWO_PI ** 5
+    pdf = norm * jnp.exp(-0.5 * jnp.sum(z * z, axis=-1)) * inv_det * aos
+    pdf = jnp.where(valid, pdf, 0.0)
+    return pdf, t_abs
+
+
+def posterior_and_log(weight, mean, inv_chol, inv_det, rot, pos, d,
+                      heuristic_pdf=None, heuristic_weight=None):
+    """Responsibilities + tangent coords in one pass
+    (spec: mixture_model.h:146-192 posteriorAndLog).
+
+    weight: [..., K]; pos, d: [..., 3]. Returns (pdf_k, posterior_k, t_abs,
+    heuristic_posterior).
+    """
+    pdf, t_abs = component_pdf(mean, inv_chol, inv_det, rot, pos, d)
+    post = weight * pdf
+    total = jnp.sum(post, axis=-1)
+    if heuristic_pdf is not None:
+        hw = heuristic_weight
+        total = (1.0 - hw) * total + hw * heuristic_pdf
+        inv_total = jnp.where(total > 0.0, 1.0 / total, 0.0)
+        posterior = post * ((1.0 - hw) * inv_total)[..., None]
+        heur_post = hw * heuristic_pdf * inv_total
+    else:
+        inv_total = jnp.where(total > 0.0, 1.0 / total, 0.0)
+        posterior = post * inv_total[..., None]
+        heur_post = jnp.zeros_like(total)
+    finite = jnp.isfinite(inv_total)
+    posterior = jnp.where(finite[..., None], posterior, 0.0)
+    return pdf, posterior, t_abs, jnp.where(finite, heur_post, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Conditioning (spec: precomputeConditioning/conditional,
+# multivariate_tangent_normal.h:387-439; sdmm::create_conditional)
+# ---------------------------------------------------------------------------
+
+
+class Conditional(NamedTuple):
+    """Per-sample directional mixture conditioned on position.
+
+    All arrays have leading sample dims + trailing K.
+    """
+
+    weight: jnp.ndarray  # [..., K] normalized conditional weights
+    mu_dir: jnp.ndarray  # [..., K, 3] conditional mean directions
+    rot: jnp.ndarray  # [..., K, 3, 3] tangent frames at mu_dir
+    chol: jnp.ndarray  # [..., K, 2, 2]
+    inv_chol: jnp.ndarray  # [..., K, 2, 2]
+    inv_det: jnp.ndarray  # [..., K]
+    valid: jnp.ndarray  # [...] whole-conditional validity
+
+
+def marginal_pdf(mu_a, marg_inv_chol, marg_inv_det, pos):
+    """Spatial marginal N(pos; μ_A, Σ_AA) per component; pos [..., 3]."""
+    centered = pos[..., None, :] - mu_a
+    z = jnp.einsum("...ij,...j->...i", marg_inv_chol, centered)
+    norm = INV_SQRT_TWO_PI ** 3
+    return norm * jnp.exp(-0.5 * jnp.sum(z * z, axis=-1)) * marg_inv_det
+
+
+def create_conditional(prep_g, weight_g, pos) -> Conditional:
+    """Condition gathered mixture components on position ``pos``.
+
+    prep_g: Prepared with leading sample dims (already gathered per sample);
+    weight_g: [..., K]; pos: [..., 3].
+    """
+    marg = marginal_pdf(prep_g.mu_a, prep_g.marg_inv_chol, prep_g.marg_inv_det, pos)
+    w = weight_g * marg * jnp.where(prep_g.valid, 1.0, 0.0)
+    total = jnp.sum(w, axis=-1)
+    valid = (total > 0.0) & jnp.isfinite(total)
+    w = jnp.where(valid[..., None], w / jnp.maximum(total[..., None], 1e-38), 0.0)
+
+    t_mean = jnp.einsum(
+        "...ij,...j->...i", prep_g.premult, pos[..., None, :] - prep_g.mu_a
+    )
+    mu_dir, _, exp_ok = tg.exp_map(prep_g.rot, t_mean)
+    # Out-of-range conditional means (|t| ≥ π) zero that component.
+    w = jnp.where(exp_ok, w, 0.0)
+    rot = tg.make_rotation(mu_dir)
+    return Conditional(
+        weight=w, mu_dir=mu_dir, rot=rot,
+        chol=prep_g.cond_chol, inv_chol=prep_g.cond_inv_chol,
+        inv_det=prep_g.cond_inv_det, valid=valid,
+    )
+
+
+def conditional_pdf(c: Conditional, d: jnp.ndarray) -> jnp.ndarray:
+    """Mixture pdf over directions (solid-angle measure); d [..., 3]."""
+    t, aos, ok = tg.log_map(c.rot, d[..., None, :])
+    z = jnp.einsum("...ij,...j->...i", c.inv_chol, t)
+    norm = INV_SQRT_TWO_PI ** 2
+    pdf_k = norm * jnp.exp(-0.5 * jnp.sum(z * z, axis=-1)) * c.inv_det * aos
+    pdf_k = jnp.where(ok, pdf_k, 0.0)
+    return jnp.sum(c.weight * pdf_k, axis=-1)
+
+
+def conditional_sample(c: Conditional, key) -> jnp.ndarray:
+    """Draw one direction per sample from the conditional mixture."""
+    batch = c.weight.shape[:-1]
+    k1, k2 = jax.random.split(key)
+    u_sel = jax.random.uniform(k1, batch)
+    cdf = jnp.cumsum(c.weight, axis=-1)
+    sel = jnp.sum((u_sel[..., None] > cdf).astype(jnp.int32), axis=-1)
+    sel = jnp.clip(sel, 0, c.weight.shape[-1] - 1)
+
+    u = jax.random.uniform(k2, batch + (2,))
+    z = warp.square_to_std_normal(u)
+    chol_s = jnp.take_along_axis(
+        c.chol, sel[..., None, None, None], axis=-3
+    )[..., 0, :, :]
+    rot_s = jnp.take_along_axis(
+        c.rot, sel[..., None, None, None], axis=-3
+    )[..., 0, :, :]
+    t = jnp.einsum("...ij,...j->...i", chol_s, z)
+    d, _, ok = tg.exp_map(rot_s, t)
+    return d, ok
+
+
+# ---------------------------------------------------------------------------
+# Product of directional mixtures (spec: multiply,
+# multivariate_tangent_normal.h:571-617; sdmm::product)
+# ---------------------------------------------------------------------------
+
+
+def product(a: Conditional, b: Conditional):
+    """Pairwise mixture product a×b → Conditional with K_a·K_b components.
+
+    Used for BSDF-product sampling (reference: sdmm_proc.cpp:375-381).
+    Each pair (i, j): Gaussians multiplied in a's tangent frame with b's
+    covariance transported via exp/log Jacobian chains.
+    """
+    ka = a.weight.shape[-1]
+    kb = b.weight.shape[-1]
+    batch = a.weight.shape[:-1]
+
+    # Expand: a components on axis -2, b on axis -1 (flattened at the end).
+    a_rot = a.rot[..., :, None, :, :]
+    b_rot = b.rot[..., None, :, :, :]
+    a_cov = jnp.einsum("...ij,...jk->...ik", a.chol, jnp.swapaxes(a.chol, -1, -2))
+    b_cov = jnp.einsum("...ij,...jk->...ik", b.chol, jnp.swapaxes(b.chol, -1, -2))
+    a_cov = a_cov[..., :, None, :, :]
+    b_cov = b_cov[..., None, :, :, :]
+    b_mu = b.mu_dir[..., None, :, :]
+
+    # b's mean in a's tangent space.
+    t_b, aos, log_ok = tg.log_map(a_rot, b_mu)
+    # Transport b's cov into a's tangent frame at a's mean:
+    # J = J_log_a(world) ∘ R_b ∘ J_exp_b(0)  (b's tangent mean is 0 at its own frame).
+    zero2 = jnp.zeros_like(t_b)
+    exp_j = tg.exp_jacobian(zero2)  # [..., 3, 2] (identity-ish at 0)
+    log_j = tg.log_jacobian(a_rot, b_mu)  # [..., 2, 3] includes R_a^T
+    j = jnp.einsum("...ij,...jk,...kl->...il", log_j, b_rot, exp_j)  # [..., 2, 2]
+    b_cov_t = jnp.einsum("...ij,...jk,...lk->...il", j, b_cov, j)
+
+    cov_sum = a_cov + b_cov_t
+    # 2x2 inverse.
+    det = (
+        cov_sum[..., 0, 0] * cov_sum[..., 1, 1]
+        - cov_sum[..., 0, 1] * cov_sum[..., 1, 0]
+    )
+    inv_det_sum = jnp.where(jnp.abs(det) > 1e-38, 1.0 / det, 0.0)
+    adj = jnp.stack(
+        [
+            jnp.stack([cov_sum[..., 1, 1], -cov_sum[..., 0, 1]], axis=-1),
+            jnp.stack([-cov_sum[..., 1, 0], cov_sum[..., 0, 0]], axis=-1),
+        ],
+        axis=-2,
+    )
+    inv_sum = adj * inv_det_sum[..., None, None]
+
+    # New mean in a's tangent frame: (B (A+B)⁻¹)·0 + (A (A+B)⁻¹)·t_b.
+    mean_new_t = jnp.einsum(
+        "...ij,...jk,...k->...i", a_cov, inv_sum, t_b
+    )
+    cov_new_t = jnp.einsum("...ij,...jk,...kl->...il", a_cov, inv_sum, b_cov_t)
+    # Symmetrize.
+    cov_new_t = 0.5 * (cov_new_t + jnp.swapaxes(cov_new_t, -1, -2))
+
+    mu_new, _, exp_ok = tg.exp_map(a_rot, mean_new_t)
+    rot_new = tg.make_rotation(mu_new)
+    # Transport product cov to the new frame.
+    exp_j2 = tg.exp_jacobian(mean_new_t)
+    log_j2 = tg.log_jacobian(rot_new, mu_new)
+    j2 = jnp.einsum("...ij,...jk,...kl->...il", log_j2, a_rot, exp_j2)
+    cov_new = jnp.einsum("...ij,...jk,...lk->...il", j2, cov_new_t, j2)
+    cov_new = 0.5 * (cov_new + jnp.swapaxes(cov_new, -1, -2))
+
+    # Pair weight: N(t_b; 0, A+B) · Jacobian factor.
+    z_det = jnp.sqrt(jnp.maximum(det, 1e-38))
+    maha = jnp.einsum("...i,...ij,...j->...", t_b, inv_sum, t_b)
+    s_ij = (INV_SQRT_TWO_PI ** 2) * jnp.exp(-0.5 * maha) / z_det * aos
+    w = a.weight[..., :, None] * b.weight[..., None, :] * s_ij
+    w = jnp.where(log_ok & exp_ok, w, 0.0)
+
+    flat = batch + (ka * kb,)
+    w = w.reshape(flat)
+    total = jnp.sum(w, axis=-1)
+    valid = (total > 0.0) & jnp.isfinite(total) & a.valid & b.valid
+    w = jnp.where(valid[..., None], w / jnp.maximum(total[..., None], 1e-38), 0.0)
+
+    cov_new = cov_new.reshape(flat + (2, 2))
+    alive = w > 0.0
+    chol, ok = _chol_safe(cov_new, alive)
+    w = jnp.where(ok | ~alive, w, 0.0)
+    inv_chol = _tri_inv(chol)
+    inv_det = 1.0 / jnp.prod(jnp.diagonal(chol, axis1=-2, axis2=-1), axis=-1)
+    return Conditional(
+        weight=w,
+        mu_dir=mu_new.reshape(flat + (3,)),
+        rot=rot_new.reshape(flat + (3, 3)),
+        chol=chol, inv_chol=inv_chol, inv_det=inv_det,
+        valid=valid,
+    )

@@ -1,0 +1,44 @@
+import jax.numpy as jnp
+import numpy as np
+
+from sdmm_tpu.guiding.stree import STree, find_leaf, find_leaf_with_bounds
+
+
+def test_split_to_depth():
+    t = STree(np.zeros(3), np.ones(3))
+    t.split_to_depth(2)
+    assert t.n_leaves == 4
+    tables = t.device_tables()
+    p = jnp.asarray(np.random.RandomState(0).rand(256, 3), dtype=jnp.float32)
+    leaf, lo, hi = find_leaf_with_bounds(tables, p)
+    # Every point lands in a leaf whose bounds contain it.
+    assert np.all(np.asarray(leaf) >= 0) and np.all(np.asarray(leaf) < 4)
+    assert np.all(np.asarray(p) >= np.asarray(lo) - 1e-6)
+    assert np.all(np.asarray(p) <= np.asarray(hi) + 1e-6)
+
+
+def test_refit_splits_hot_leaf():
+    t = STree(np.zeros(3), np.ones(3), split_threshold=100)
+    t.split_to_depth(1)
+    assert t.n_leaves == 2
+    counts = np.zeros(t.max_leaves)
+    counts[0] = 1000  # hot leaf: should split recursively (1000→500→250→125)
+    copies = t.refit(counts[: t.n_leaves])
+    assert t.n_leaves > 4
+    assert len(copies) == t.n_leaves - 2
+    # Copy targets are fresh slots.
+    dsts = [d for d, s in copies]
+    assert len(set(dsts)) == len(dsts)
+    # Device table is consistent after refit.
+    tables = t.device_tables()
+    p = jnp.asarray(np.random.RandomState(1).rand(512, 3), dtype=jnp.float32)
+    leaf = find_leaf(tables, p)
+    assert np.all(np.asarray(leaf) >= 0)
+    assert np.all(np.asarray(leaf) < t.n_leaves)
+
+
+def test_max_leaves_respected():
+    t = STree(np.zeros(3), np.ones(3), max_leaves=8, split_threshold=1)
+    t.split_to_depth(1)
+    t.refit(np.full(t.n_leaves, 1e9))
+    assert t.n_leaves <= 8
