@@ -86,9 +86,12 @@ def e_step(
     d = jnp.pad(d, ((0, pad), (0, 0)))
     weight = jnp.pad(weight, (0, pad))
     leaf = jnp.pad(leaf, (0, pad))
+    # Samples with weight < 0 are invalid padding; weight == 0 samples are
+    # counted (the reference pushes them into the buffers too) but contribute
+    # nothing to the statistics.
     valid = jnp.pad(
-        jnp.ones(s, dtype=bool) & jnp.isfinite(weight[:s]) & (weight[:s] > 0),
-        (0, pad),
+        jnp.ones(s, dtype=bool) & jnp.isfinite(weight[:s]) & (weight[:s] >= 0),
+        (0, pad), constant_values=False,
     )
     n_chunks = (s + pad) // batch_size
 
@@ -111,8 +114,10 @@ def e_step(
             cp,
             cd,
         )
-        # γ_k < 1e-10 are dropped as in the reference (stepwise_tangent.h:312).
-        post = jnp.where(post < 1e-10, 0.0, post)
+        # γ_k < 1e-10 are dropped as in the reference (stepwise_tangent.h:312);
+        # non-finite posteriors (degenerate samples) contribute nothing.
+        post = jnp.where((post < 1e-10) | ~jnp.isfinite(post), 0.0, post)
+        t_abs = jnp.nan_to_num(t_abs, nan=0.0, posinf=0.0, neginf=0.0)
         wgt = jnp.where(cv, cw, 0.0)
         gw = wgt[:, None] * post  # [B, K]
         sw = sw.at[cl].add(gw)

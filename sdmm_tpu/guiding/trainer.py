@@ -1,0 +1,230 @@
+"""SDMM training loop: iterate render → collect → split → EM.
+
+TPU-native equivalent of the reference's outer integrator loop
+(reference: mitsuba/src/integrators/sdmm/volpath_sdmm.cpp
+``SDMMVolumetricPathTracer::render`` :334-516 and ``optimize`` :244-312):
+per iteration, render ``samples_per_iteration`` spp with guided sampling,
+refit the spatial tree (split hot leaves ≥ 4000 samples, ≤ 2048 leaves),
+then run one batched stepwise-EM step over every trainable leaf at once.
+Training runs for the first quarter of the total sample budget
+(reference :416). Per-iteration images and squared images are kept for
+inverse-variance combination (reference: scripts/combine_renders.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import film as film_mod
+from ..render.guided import GuideState, trace_wave_guided
+from ..scene.sensor import generate_rays
+from . import em as em_mod
+from . import init as init_mod
+from . import mixture as mix
+from .stree import STree, find_leaf
+
+
+@dataclass
+class TrainerConfig:
+    n_components: int = 16  # reference: sdmm_proc.h:55
+    max_leaves: int = 2048  # reference: volpath_sdmm.cpp:529
+    split_threshold: int = 4000  # reference: volpath_sdmm.cpp:528
+    samples_per_iteration: int = 4  # reference protocol (run_tests.sh)
+    bsdf_fraction: float = 0.5  # one-sample-MIS heuristic weight
+    rays_per_wave: int = 1 << 16
+    train_fraction: float = 0.25  # train on first quarter (reference :416)
+    em: em_mod.EMConfig = field(default_factory=em_mod.EMConfig)
+    seed: int = 1234
+    double_em_until: int = 4  # 2 EM inner steps early (volpath_sdmm.cpp:299)
+
+
+class SDMMTrainer:
+    def __init__(self, scene, render_cfg, cfg: TrainerConfig | None = None):
+        self.scene = scene
+        self.render_cfg = render_cfg
+        self.cfg = cfg or TrainerConfig()
+        c = self.cfg
+
+        lo = np.asarray(scene.aabb_lo)
+        hi = np.asarray(scene.aabb_hi)
+        ext = hi - lo
+        self.spatial_norm = float(ext.max())
+        dom_hi = ext / self.spatial_norm
+        eps = 1e-5
+        self.tree = STree(
+            -eps * np.ones(3), dom_hi + eps,
+            max_leaves=c.max_leaves, split_threshold=c.split_threshold,
+        )
+        self.tree.split_to_depth(2)
+        self.tables = self.tree.device_tables()
+
+        key = jax.random.PRNGKey(c.seed)
+        self.sdmm = init_mod.init_leaf_params(
+            key, self.tables["leaf_lo"], self.tables["leaf_hi"], c.n_components
+        )
+        self.prep = mix.prepare(self.sdmm)
+        self.em = em_mod.init_em_state(c.max_leaves, c.n_components)
+        self.initialized = jnp.zeros((c.max_leaves,), dtype=bool)
+        self.cum_counts = np.zeros(c.max_leaves)
+        self.iteration = 0
+        self.total_spp = 0
+        self.stats: list[dict] = []
+
+    # ------------------------------------------------------------------
+
+    def guide_state(self) -> GuideState:
+        return GuideState(
+            sdmm=self.sdmm, prep=self.prep, initialized=self.initialized,
+            tables=self.tables,
+            aabb_lo=self.scene.aabb_lo,
+            inv_norm=jnp.float32(1.0 / self.spatial_norm),
+        )
+
+    def _apply_copies(self, copies):
+        """Propagate mixture state to fresh leaf slots after tree splits."""
+        if not copies:
+            return
+        dst = jnp.asarray([d for d, _ in copies], dtype=jnp.int32)
+        src = jnp.asarray([s for _, s in copies], dtype=jnp.int32)
+        cp = lambda a: a.at[dst].set(a[src])
+        self.sdmm = jax.tree.map(cp, self.sdmm)
+        self.em = jax.tree.map(cp, self.em)
+        self.initialized = cp(self.initialized)
+        self.prep = mix.prepare(self.sdmm)
+
+    def render_iteration(self, collect: bool):
+        """Render samples_per_iteration spp; returns (image accumulators,
+        sample arrays on device)."""
+        scene, rc, c = self.scene, self.render_cfg, self.cfg
+        w, h = rc.width, rc.height
+        n_pix = w * h
+        wave = min(c.rays_per_wave, n_pix)
+        n_waves = (n_pix + wave - 1) // wave
+        pix_all = np.arange(n_waves * wave, dtype=np.int32) % n_pix
+
+        gs = self.guide_state()
+        image = jnp.zeros((n_pix, 3))
+        sqr = jnp.zeros((n_pix, 3))
+        weight = jnp.zeros((n_pix,))
+        sample_batches = []
+
+        @jax.jit
+        def run_wave(image, sqr, weight, gs, key, pixel_idx):
+            kj, kt = jax.random.split(key)
+            u = jax.random.uniform(kj, (pixel_idx.shape[0], 2))
+            px = (pixel_idx % w).astype(jnp.float32) + u[:, 0]
+            py = (pixel_idx // w).astype(jnp.float32) + u[:, 1]
+            ro, rd = generate_rays(scene, jnp.stack([px, py], axis=-1), w, h, rc.fov_axis)
+            li, samples = trace_wave_guided(
+                scene, gs, kt, ro, rd,
+                max_depth=rc.max_depth, rr_depth=rc.rr_depth,
+                bsdf_fraction=c.bsdf_fraction,
+            )
+            li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+            image, sqr, weight = film_mod.splat(image, sqr, weight, pixel_idx, li)
+            return image, sqr, weight, samples
+
+        base = jax.random.fold_in(jax.random.PRNGKey(c.seed), self.iteration)
+        for s in range(c.samples_per_iteration):
+            for wv in range(n_waves):
+                k = jax.random.fold_in(jax.random.fold_in(base, s), wv)
+                idx = jnp.asarray(pix_all[wv * wave : (wv + 1) * wave])
+                image, sqr, weight, samples = run_wave(image, sqr, weight, gs, k, idx)
+                if collect:
+                    sample_batches.append(samples)
+        return image, sqr, weight, sample_batches
+
+    def optimize(self, sample_batches):
+        """Tree refit + one EM step (reference ``optimize``)."""
+        c = self.cfg
+        pos = jnp.concatenate([s["pos"] for s in sample_batches])
+        d = jnp.concatenate([s["dir"] for s in sample_batches])
+        wgt = jnp.concatenate([s["weight"] for s in sample_batches])
+        valid = jnp.concatenate([s["valid"] for s in sample_batches])
+
+        # Leaf counts for split decisions (device → host).
+        leaf = find_leaf(self.tables, pos)
+        counts = np.asarray(
+            jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(valid.astype(jnp.int32))
+        )
+        copies = self.tree.refit(counts)
+        if copies:
+            self.tables = self.tree.device_tables()
+            self._apply_copies(copies)
+            leaf = find_leaf(self.tables, pos)
+
+        counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(
+            valid.astype(jnp.int32)
+        )
+        self.cum_counts[: len(counts)] = self.tree.leaf_counts[: len(counts)]
+        # canBeOptimized gate (reference: volpath_sdmm.cpp:140-149).
+        active = (
+            (counts_dev >= 8)
+            & (jnp.asarray(self.tree.leaf_counts, jnp.float32) >= 64.0)
+            & ((self.total_spp > 12) | (counts_dev > 1000))
+        )
+
+        n_inner = 2 if self.iteration < self.cfg.double_em_until else 1
+        for _ in range(n_inner):
+            self.sdmm, self.em, _ = em_mod.em_step(
+                self.sdmm, self.em, pos, d, wgt, leaf, active, c.em
+            )
+        self.prep = mix.prepare(self.sdmm)
+        self.initialized = self.initialized | active
+        return int(jnp.sum(active))
+
+    def run(self, total_spp: int, verbose: bool = False, on_iteration=None):
+        """Full training render; returns combined image + per-iteration stats."""
+        c = self.cfg
+        iters = []
+        while self.total_spp < total_spp:
+            t0 = time.time()
+            still_training = self.total_spp < total_spp * c.train_fraction
+            image, sqr, weight, batches = self.render_iteration(collect=still_training)
+            t_render = time.time() - t0
+            t0 = time.time()
+            n_opt = self.optimize(batches) if still_training and batches else 0
+            t_train = time.time() - t0
+            iters.append(
+                {"image": np.asarray(image), "sqr": np.asarray(sqr),
+                 "weight": np.asarray(weight)}
+            )
+            self.stats.append({
+                "iteration": self.iteration,
+                "spp": c.samples_per_iteration,
+                "total_spp": self.total_spp + c.samples_per_iteration,
+                "rendering_seconds": t_render,
+                "training_seconds": t_train,
+                "leaf_nodes_count": self.tree.n_leaves,
+                "optimized_nodes_count": n_opt,
+                "active_nodes_count": int(jnp.sum(self.initialized)),
+            })
+            if verbose:
+                print(self.stats[-1])
+            if on_iteration is not None:
+                on_iteration(self, iters[-1])
+            self.iteration += 1
+            self.total_spp += c.samples_per_iteration
+        return self.combine(iters), iters
+
+    def combine(self, iters):
+        """Inverse-variance weighted combination of per-iteration images
+        (reference: scripts/combine_renders.py:167-235)."""
+        rc = self.render_cfg
+        h, w = rc.height, rc.width
+        num = np.zeros((h * w, 3))
+        den = np.zeros((h * w, 3))
+        for it in iters:
+            n = np.maximum(it["weight"], 1.0)[:, None]
+            mean = it["image"] / n
+            var = np.maximum(it["sqr"] / n - mean * mean, 0.0) / np.maximum(n - 1, 1)
+            # Per-iteration scalar inverse-variance weights (avoid per-pixel bias).
+            iv = 1.0 / np.maximum(var.mean(), 1e-12)
+            num += iv * mean
+            den += iv
+        return (num / np.maximum(den, 1e-12)).reshape(h, w, 3)

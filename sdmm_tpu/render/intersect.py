@@ -42,6 +42,14 @@ def _mt_chunk(ro, rd, v0, e1, e2, t_max):
     return t, u, v, hit
 
 
+def _pick_chunk(n_tris: int, chunk: int) -> int:
+    """Chunk sized to the scene: tiny scenes get one dense pass with minimal
+    padding (multiple of 8 vector sublanes), large scenes scan fixed chunks."""
+    if n_tris <= chunk:
+        return max(8, -(-n_tris // 8) * 8)
+    return chunk
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
     """Closest hit. Returns dict with t, tri [int32, -1=miss], u, v, valid."""
@@ -49,6 +57,7 @@ def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
     n_rays = ro.shape[0]
     if t_max is None:
         t_max = jnp.full((n_rays,), INF)
+    chunk = _pick_chunk(n_tris, chunk)
     pad = (-n_tris) % chunk
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
     e1 = jnp.pad(scene.tri_e1, ((0, pad), (0, 0)))
@@ -93,6 +102,7 @@ def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
 def occluded(scene, ro, rd, t_max, chunk: int = 512):
     """Any-hit within (EPS, t_max). Returns bool [N]."""
     n_tris = scene.tri_v0.shape[0]
+    chunk = _pick_chunk(n_tris, chunk)
     pad = (-n_tris) % chunk
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
     e1 = jnp.pad(scene.tri_e1, ((0, pad), (0, 0)))

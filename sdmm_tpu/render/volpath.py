@@ -50,7 +50,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices"))
 def trace_wave(
     scene,
     key,
@@ -59,11 +59,14 @@ def trace_wave(
     max_depth: int = 10,
     rr_depth: int = 10,
     nee: bool = True,
+    count_vertices: bool = False,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
 
     max_depth follows the reference convention: number of bounces allowed
-    (rRec.depth runs 1..maxDepth; depth counts path vertices).
+    (rRec.depth runs 1..maxDepth; depth counts path vertices). With
+    ``count_vertices`` also returns the total number of path vertices
+    (the reference's "rays" throughput unit, BASELINE.md).
     """
     n = ro.shape[0]
     pdf_over_area = emitters.tri_pdf_over_area(scene)
@@ -91,6 +94,7 @@ def trace_wave(
         )
 
         active = active & hit["valid"]
+        n_shaded = jnp.sum(active.astype(jnp.int32))
 
         params = bsdf_mod.gather_params(scene, it["bsdf"])
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
@@ -152,7 +156,7 @@ def trace_wave(
         ro_next = it["p"] + it["ng"] * offset_sign[..., None]
         return (
             (ro_next, wo_world, throughput, eta_sq, active, li, bs["pdf"], bs["delta"]),
-            None,
+            n_shaded if count_vertices else None,
         )
 
     keys = jax.random.split(key, max_depth)
@@ -167,5 +171,7 @@ def trace_wave(
         jnp.ones((n,), dtype=bool),
     )
     depths = jnp.arange(max_depth, dtype=jnp.int32)
-    carry, _ = jax.lax.scan(body, init, (depths, keys))
+    carry, ys = jax.lax.scan(body, init, (depths, keys))
+    if count_vertices:
+        return carry[5], jnp.sum(ys)
     return carry[5]
