@@ -1,0 +1,104 @@
+"""Differentiable rendering and inverse-rendering optimization.
+
+A NEW capability relative to the reference (which has only an unused
+forward-mode scalar AD type, mitsuba/include/mitsuba/core/autodiff.h): the
+whole wavefront path tracer is pure JAX, so pixel values are differentiable
+w.r.t. scene parameters (BSDF albedo/roughness, emitter radiance) and
+mixture parameters. Sampling decisions use reparameterized draws where the
+parameters shape the warp (GGX/VNDF) and detached Russian roulette.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..render.volpath import trace_wave
+from ..scene.sensor import generate_rays
+
+
+def make_render_fn(scene, cfg, pixel_idx, param_name: str, spp: int = 4,
+                   nee: bool = True):
+    """Build fn(param, key) → per-pixel radiance, differentiable in param.
+
+    param_name: a SceneData field to substitute (e.g. 'bsdf_albedo',
+    'bsdf_alpha', 'emitter_radiance').
+    """
+    w, h = cfg.width, cfg.height
+
+    @jax.jit
+    def render(param, key):
+        s = scene._replace(**{param_name: param})
+        acc = jnp.zeros((pixel_idx.shape[0], 3))
+        for i in range(spp):
+            k = jax.random.fold_in(key, i)
+            kj, kt = jax.random.split(k)
+            u = jax.random.uniform(kj, (pixel_idx.shape[0], 2))
+            px = (pixel_idx % w).astype(jnp.float32) + u[:, 0]
+            py = (pixel_idx // w).astype(jnp.float32) + u[:, 1]
+            ro, rd = generate_rays(s, jnp.stack([px, py], axis=-1), w, h, cfg.fov_axis)
+            li = trace_wave(
+                s, kt, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+                nee=nee,
+            )
+            acc = acc + li
+        return acc / spp
+
+    return render
+
+
+def pixel_gradients(scene, cfg, pixel_idx, param_name: str, key, spp: int = 4):
+    """Gradient of the mean pixel luminance w.r.t. a scene parameter array."""
+    render = make_render_fn(scene, cfg, pixel_idx, param_name, spp)
+
+    def loss(param):
+        img = render(param, key)
+        return jnp.mean(img)
+
+    return jax.grad(loss)(getattr(scene, param_name))
+
+
+def optimize_parameter(
+    scene, cfg, target_image, param_name: str, init_value,
+    steps: int = 60, lr: float = 5e-2, spp: int = 4, seed: int = 0,
+    pixel_idx=None, resample: bool = False,
+):
+    """Adam inverse rendering: fit a scene parameter to a target image.
+
+    With ``resample=False`` the same sample paths are reused every step
+    (correlated estimator: the loss landscape is deterministic and has an
+    exact zero at the true parameters when the target was rendered with the
+    same seed). ``resample=True`` redraws paths each step (noisy SGD).
+    Returns (optimized value, loss history).
+    """
+    n_pix = cfg.width * cfg.height
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    render = make_render_fn(scene, cfg, pixel_idx, param_name, spp)
+    target = target_image.reshape(-1, 3)[pixel_idx]
+
+    opt = optax.adam(lr)
+    param = init_value
+    state = opt.init(param)
+
+    @jax.jit
+    def step(param, state, key):
+        def loss_fn(p):
+            img = render(p, key)
+            return jnp.mean((img - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(param)
+        updates, state = opt.update(g, state)
+        param = optax.apply_updates(param, updates)
+        return param, state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(seed)
+    for i in range(steps):
+        k = jax.random.fold_in(key, i) if resample else key
+        param, state, loss = step(param, state, k)
+        losses.append(float(loss))
+    return param, losses

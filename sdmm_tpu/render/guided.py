@@ -169,7 +169,9 @@ def trace_wave_guided(
         eta_sq = eta_sq * jnp.where(active_next, bs["eta"] * bs["eta"], 1.0)
 
         # Russian roulette.
-        q = jnp.minimum(jnp.max(throughput, axis=-1) * eta_sq, 0.95)
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(throughput, axis=-1) * eta_sq, 0.95)
+        )  # detached RR probability (unbiased gradient estimator)
         do_rr = depth + 1 >= rr_depth
         u_rr = jax.random.uniform(k_rr, (n,))
         kill = do_rr & (u_rr >= q)

@@ -128,7 +128,11 @@ def occluded(scene, ro, rd, t_max, chunk: int = 512):
 def surface_interaction(scene, ro, rd, hit):
     """Derive hit-point attributes (position, normals) from an intersect() result."""
     tri = jnp.maximum(hit["tri"], 0)
-    p = ro + hit["t"][:, None] * rd
+    # Missed rays have t = INF; clamp so downstream math (NEE, guiding) stays
+    # finite — their contributions are masked out, but NaNs would still
+    # poison reverse-mode gradients through jnp.where.
+    t_safe = jnp.where(hit["valid"], hit["t"], 0.0)
+    p = ro + t_safe[:, None] * rd
     ng = scene.tri_ng[tri]
     ns_verts = scene.tri_ns[tri]  # [N, 3, 3]
     u = hit["u"][:, None]

@@ -143,7 +143,9 @@ def trace_wave(
         eta_sq = eta_sq * bs["eta"] * bs["eta"]
 
         # Russian roulette after rr_depth bounces (reference: sdmm_proc.cpp:858).
-        q = jnp.minimum(jnp.max(throughput, axis=-1) * eta_sq, 0.95)
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(throughput, axis=-1) * eta_sq, 0.95)
+        )  # detached RR probability (unbiased gradient estimator)
         do_rr = depth + 1 >= rr_depth
         u_rr = jax.random.uniform(k_rr, (n,))
         kill = do_rr & (u_rr >= q)
