@@ -1,0 +1,145 @@
+"""Command-line renderer — the framework's ``mitsuba`` binary equivalent.
+
+Reference: mitsuba/src/mitsuba/mitsuba.cpp (CLI arg parsing :55-86, scene
+load :354, render job :390). Usage:
+
+    python -m sdmm_tpu render scene.xml -o out.exr -D key=val --spp 64
+    python -m sdmm_tpu render scene.xml --integrator sdmm --spp 1024
+
+Integrators: ``gt``/``volpath`` (NEE path tracing), ``path`` (no NEE),
+``sdmm`` (guided training render). Stats are written next to the output as
+stats.json (schema: reference volpath_sdmm.cpp:474-490).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _parse_defines(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        out[k] = v
+    return out
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from .scene.xml_loader import load_scene
+    from .utils.exr import write_exr
+
+    overrides = _parse_defines(args.define)
+    overrides.setdefault("samplesPerIteration", str(args.samples_per_iteration))
+    if args.integrator:
+        overrides["integrator"] = args.integrator
+    builder = load_scene(args.scene, overrides)
+    scene, cfg = builder.build()
+    if args.width:
+        cfg.width = args.width
+    if args.height:
+        cfg.height = args.height
+    if args.max_depth:
+        cfg.max_depth = args.max_depth
+        cfg.rr_depth = args.max_depth
+    spp = args.spp or builder.sample_count
+    integrator = args.integrator or builder.integrator.get("type", "volpath")
+    out = args.output or os.path.splitext(args.scene)[0] + ".exr"
+    out_dir = os.path.dirname(os.path.abspath(out))
+    os.makedirs(out_dir, exist_ok=True)
+
+    t0 = time.time()
+    if integrator == "sdmm":
+        from .guiding import io as gio
+        from .guiding.trainer import SDMMTrainer, TrainerConfig
+
+        tc = TrainerConfig(
+            samples_per_iteration=int(overrides.get("samplesPerIteration", 4)),
+            seed=builder.seed,
+        )
+        trainer = SDMMTrainer(scene, cfg, tc)
+        image, iters = trainer.run(total_spp=spp, verbose=args.verbose)
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(trainer.stats, f, indent=2)
+        ckpt_dir = os.path.join(out_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        gio.save_checkpoint(
+            os.path.join(ckpt_dir, f"model_{trainer.iteration:05d}.asdmm"), trainer
+        )
+        if args.dump_iterations:
+            for i, it in enumerate(iters):
+                n = np.maximum(it["weight"], 1.0)[:, None]
+                write_exr(
+                    os.path.join(out_dir, f"iteration{i:05d}.exr"),
+                    (it["image"] / n).reshape(cfg.height, cfg.width, 3),
+                )
+                write_exr(
+                    os.path.join(out_dir, f"iteration_sqr{i:05d}.exr"),
+                    (it["sqr"] / n).reshape(cfg.height, cfg.width, 3),
+                )
+    else:
+        from .render.renderer import render as render_fn
+
+        nee = integrator in ("gt", "volpath")
+        res = render_fn(scene, cfg, spp=spp, seed=builder.seed, nee=nee)
+        image = res["image"]
+        stats = {
+            "integrator": integrator,
+            "spp": spp,
+            "seconds": time.time() - t0,
+            "mean": float(np.asarray(image).mean()),
+        }
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+
+    write_exr(out, np.asarray(image))
+    dt = time.time() - t0
+    print(f"Rendered {args.scene} [{integrator}] {cfg.width}x{cfg.height} @ {spp} spp "
+          f"in {dt:.1f}s -> {out}")
+
+
+def cmd_compare(args):
+    from .utils.exr import read_exr
+    from .utils.metrics import all_metrics
+
+    img = read_exr(args.image)
+    ref = read_exr(args.reference)
+    m = all_metrics(img, ref)
+    print(json.dumps(m, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sdmm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a Mitsuba-0.6 XML scene")
+    r.add_argument("scene")
+    r.add_argument("-o", "--output")
+    r.add_argument("-D", "--define", action="append", metavar="key=val",
+                   help="scene variable override (reference: mitsuba -D)")
+    r.add_argument("--integrator", choices=["gt", "volpath", "path", "sdmm"])
+    r.add_argument("--spp", type=int)
+    r.add_argument("--samples-per-iteration", type=int, default=4)
+    r.add_argument("--width", type=int)
+    r.add_argument("--height", type=int)
+    r.add_argument("--max-depth", type=int)
+    r.add_argument("--dump-iterations", action="store_true")
+    r.add_argument("-v", "--verbose", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    c = sub.add_parser("compare", help="image metrics vs a reference EXR")
+    c.add_argument("image")
+    c.add_argument("reference")
+    c.set_defaults(fn=cmd_compare)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,10 +50,23 @@ def _pick_chunk(n_tris: int, chunk: int) -> int:
     return chunk
 
 
+# Above this triangle count the dense sweep loses to BVH traversal.
+BRUTE_FORCE_MAX = 1024
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
-    """Closest hit. Returns dict with t, tri [int32, -1=miss], u, v, valid."""
+    """Closest hit. Returns dict with t, tri [int32, -1=miss], u, v, valid.
+
+    Small scenes use the dense chunked sweep; large scenes the threaded BVH
+    (render/bvh.py). Dispatch is static (triangle count is a trace-time
+    constant).
+    """
     n_tris = scene.tri_v0.shape[0]
+    if n_tris > BRUTE_FORCE_MAX:
+        from . import bvh
+
+        return bvh.traverse(scene, ro, rd, t_max, any_hit=False)
     n_rays = ro.shape[0]
     if t_max is None:
         t_max = jnp.full((n_rays,), INF)
@@ -102,6 +115,10 @@ def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
 def occluded(scene, ro, rd, t_max, chunk: int = 512):
     """Any-hit within (EPS, t_max). Returns bool [N]."""
     n_tris = scene.tri_v0.shape[0]
+    if n_tris > BRUTE_FORCE_MAX:
+        from . import bvh
+
+        return bvh.traverse(scene, ro, rd, t_max, any_hit=True)
     chunk = _pick_chunk(n_tris, chunk)
     pad = (-n_tris) % chunk
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))

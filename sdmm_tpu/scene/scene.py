@@ -69,6 +69,17 @@ class SceneData(NamedTuple):
     # Normalization domain for guiding.
     aabb_lo: jnp.ndarray  # [3]
     aabb_hi: jnp.ndarray  # [3]
+    # BVH (threaded; see render/bvh.py). btri_* are leaf-ordered triangle
+    # copies; btri_orig maps leaf slots back to original triangle ids.
+    bvh_lo: jnp.ndarray  # [M, 3]
+    bvh_hi: jnp.ndarray  # [M, 3]
+    bvh_leaf_start: jnp.ndarray  # [M]
+    bvh_leaf_count: jnp.ndarray  # [M]
+    bvh_miss: jnp.ndarray  # [M]
+    btri_v0: jnp.ndarray  # [T', 3]
+    btri_e1: jnp.ndarray  # [T', 3]
+    btri_e2: jnp.ndarray  # [T', 3]
+    btri_orig: jnp.ndarray  # [T']
 
 
 @dataclass
@@ -189,6 +200,17 @@ class SceneBuilder:
         f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
         i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
         fov = np.deg2rad(self.fov_deg)
+
+        # BVH over the real (unpadded) triangles.
+        from ..render.bvh import build_bvh
+
+        bvh = build_bvh(verts)
+        perm = bvh["perm"]
+        safe = np.maximum(perm, 0)
+        sel = (perm >= 0)[:, None]
+        btri_v0 = np.where(sel, v0[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
+        btri_e1 = np.where(sel, e1[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
+        btri_e2 = np.where(sel, e2[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
         data = SceneData(
             tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2), tri_ng=f32(ng),
             tri_ns=f32(normals), tri_bsdf=i32(tri_bsdf), tri_emitter=i32(tri_emitter),
@@ -208,6 +230,12 @@ class SceneBuilder:
             cam_tan_half_fov=f32(np.tan(0.5 * fov)),
             aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),
             aabb_hi=f32(aabb.hi if len(verts) else np.ones(3)),
+            bvh_lo=f32(bvh["lo"]), bvh_hi=f32(bvh["hi"]),
+            bvh_leaf_start=i32(bvh["leaf_start"]),
+            bvh_leaf_count=i32(bvh["leaf_count"]),
+            bvh_miss=i32(bvh["miss"]),
+            btri_v0=f32(btri_v0), btri_e1=f32(btri_e1), btri_e2=f32(btri_e2),
+            btri_orig=i32(perm),
         )
         cfg = RenderConfig(
             width=self.width, height=self.height, max_depth=self.max_depth,

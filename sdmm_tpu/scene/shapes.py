@@ -129,6 +129,38 @@ def make_sphere(
     return soup
 
 
+def mesh_to_soup(
+    mesh: dict, to_world: np.ndarray | None = None, flip_normals: bool = False,
+) -> TriSoup:
+    """Indexed mesh dict (positions/normals/faces) → triangle soup."""
+    v = mesh["positions"]
+    faces = mesh["faces"]
+    vn = mesh.get("normals")
+    if mesh.get("face_normals"):
+        vn = None
+    tri_v = v[faces]  # [F, 3, 3]
+    tri_n = vn[faces] if vn is not None else None
+    if to_world is not None:
+        tri_v = _transform_points(to_world, tri_v.reshape(-1, 3)).reshape(-1, 3, 3)
+        if tri_n is not None:
+            tri_n = _transform_normals(to_world, tri_n.reshape(-1, 3)).reshape(-1, 3, 3)
+    # Drop degenerate triangles (zero-area).
+    e1 = tri_v[:, 1] - tri_v[:, 0]
+    e2 = tri_v[:, 2] - tri_v[:, 0]
+    area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    keep = area2 > 1e-16
+    tri_v = tri_v[keep]
+    tri_n = tri_n[keep] if tri_n is not None else None
+    if flip_normals:
+        tri_v = tri_v[:, ::-1, :]
+        if tri_n is not None:
+            tri_n = -tri_n[:, ::-1, :]
+    soup = TriSoup()
+    if len(tri_v):
+        soup.add(tri_v, tri_n)
+    return soup
+
+
 def load_obj(
     path: str, to_world: np.ndarray | None = None, flip_normals: bool = False,
     face_normals: bool = False,

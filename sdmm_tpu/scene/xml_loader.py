@@ -309,6 +309,22 @@ class XMLLoader:
             soup = shp.load_obj(
                 fname, to_world, flip, face_normals=bool(p.get("faceNormals", False))
             )
+        elif stype == "serialized":
+            from .serialized import load_serialized
+
+            fname = os.path.join(base_dir, p.get("filename"))
+            mesh = load_serialized(fname, int(p.get("shapeIndex", 0)))
+            if bool(p.get("faceNormals", False)):
+                mesh["face_normals"] = True
+            soup = shp.mesh_to_soup(mesh, to_world, flip)
+        elif stype == "ply":
+            from .serialized import load_ply
+
+            fname = os.path.join(base_dir, p.get("filename"))
+            mesh = load_ply(fname)
+            if bool(p.get("faceNormals", False)):
+                mesh["face_normals"] = True
+            soup = shp.mesh_to_soup(mesh, to_world, flip)
         else:
             return  # unsupported shape type: skip
         self.builder.add_shape(soup, bsdf_idx, emitter_idx)
