@@ -26,12 +26,33 @@ from ..scene.scene import (
     BSDF_DIFFUSE,
     BSDF_NULL,
     BSDF_PHONG,
+    BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
+    BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHPLASTIC,
 )
 from . import microfacet as mf
 from .fresnel import fresnel_conductor, fresnel_dielectric
 
 INV_PI = 1.0 / jnp.pi
+
+
+def _fresnel_diffuse_reflectance(eta):
+    """Average Fresnel reflectance for diffuse internal scattering
+    (reference: fresnelDiffuseReflectance in libcore/util.cpp, used by
+    plastic/roughplastic). Polynomial fit for eta > 1."""
+    inv_eta = 1.0 / eta
+    return jnp.where(
+        eta > 1.0,
+        -1.4399 * inv_eta * inv_eta
+        + 0.7099 * inv_eta
+        + 0.6681
+        + 0.0636 * eta,
+        0.0636 * inv_eta
+        + 0.6681
+        + 0.7099 * eta
+        - 1.4399 * eta * eta,
+    )
 
 
 def gather_params(scene, bsdf_idx: jnp.ndarray) -> dict:
@@ -62,6 +83,104 @@ def _phong_lobe_probs(params):
     ks = luminance(params["specular"])
     total = jnp.maximum(kd + ks, 1e-12)
     return kd / total, ks / total
+
+
+def _plastic_probs(params, cos_i):
+    """Specular-lobe selection probability for (rough)plastic
+    (reference: bsdfs/plastic.cpp specularSamplingWeight logic)."""
+    f_i, _, _, _ = fresnel_dielectric(cos_i, params["eta"])
+    w_s = luminance(params["specular"])
+    w_d = luminance(params["albedo"])
+    p = (f_i * w_s) / jnp.maximum(f_i * w_s + (1.0 - f_i) * w_d, 1e-12)
+    return jnp.clip(p, 0.05, 0.95), f_i
+
+
+def _plastic_diffuse(params, cos_i, cos_o):
+    """Internal-scattering-corrected diffuse term shared by plastic /
+    roughplastic (reference: bsdfs/{plastic,roughplastic}.cpp)."""
+    eta = params["eta"]
+    f_i, _, _, _ = fresnel_dielectric(cos_i, eta)
+    f_o, _, _, _ = fresnel_dielectric(cos_o, eta)
+    fdr = _fresnel_diffuse_reflectance(eta)
+    inv_eta2 = 1.0 / (eta * eta)
+    albedo = params["albedo"]
+    denom = 1.0 - albedo * fdr[..., None]
+    f = (
+        albedo
+        * ((1.0 - f_i) * (1.0 - f_o) * inv_eta2 * INV_PI * jnp.maximum(cos_o, 0.0))[
+            ..., None
+        ]
+        / jnp.maximum(denom, 1e-6)
+    )
+    return f
+
+
+def _eval_pdf_roughdielectric(params, wi, wo):
+    """Walter et al. 2007 rough dielectric with VNDF pdf; two-sided."""
+    eta = params["eta"]
+    alpha = params["alpha"]
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    reflecting = cos_i * cos_o > 0.0
+    outside = cos_i >= 0.0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+
+    # Half vector: reflection → normalize(wi+wo); refraction →
+    # -normalize(wi + eta_it·wo) (Walter eq. 16).
+    h_refl = wi + wo
+    h_refr = wi + wo * eta_it[..., None]
+    h = jnp.where(reflecting[..., None], h_refl, h_refr)
+    h = normalize(h)
+    # Orient h to the upper hemisphere.
+    h = h * jnp.sign(h[..., 2:3])
+
+    d = mf.ggx_ndf(h, alpha)
+    # Evaluate G with directions mapped above the surface for Smith.
+    wi_u = wi * jnp.sign(cos_i)[..., None]
+    wo_u = wo * jnp.sign(cos_o)[..., None]
+    g = mf.smith_g1(wi_u, h, alpha) * mf.smith_g1(wo_u, h, alpha)
+    idoth = jnp.sum(wi * h, axis=-1)
+    odoth = jnp.sum(wo * h, axis=-1)
+    f, _, _, _ = fresnel_dielectric(idoth, eta)
+
+    # Reflection branch.
+    f_refl = params["specular"] * (
+        f * d * g / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-12)
+    )[..., None]
+    # Refraction branch (radiance transport: × 1/eta_it²).
+    sqrt_den = idoth + eta_it * odoth
+    refr_fac = (
+        jnp.abs(idoth * odoth)
+        * (1.0 - f)
+        * d
+        * g
+        / jnp.maximum(jnp.abs(cos_i) * sqrt_den * sqrt_den, 1e-12)
+    ) / (eta_it * eta_it)
+    f_refr = params["albedo"] * refr_fac[..., None]
+    # |cos_o| is already folded: Walter's reflection term F·D·G/(4|ci||co|)
+    # and refraction term both carry 1/|co| which cancels against eval's
+    # ·|cos_o| convention.
+    fval = jnp.where(reflecting[..., None], f_refl, f_refr)
+
+    # Microfacet sidedness (Walter 2007 χ⁺ factors): the facet must see wi
+    # (wi·h on wi's geometric side) and refraction needs wi/wo on opposite
+    # sides of the facet. Without these, shallow transmission directions
+    # get phantom pdf mass the sampler never produces.
+    sees_wi = idoth * cos_i > 0.0
+    side_ok = jnp.where(reflecting, idoth * odoth > 0.0, idoth * odoth < 0.0)
+    geom_ok = sees_wi & side_ok
+
+    # pdf: VNDF density of h × half-vector→wo Jacobian × branch prob F.
+    pdf_h = mf.vndf_pdf(wi_u, h, alpha)
+    jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(odoth), 1e-12)
+    jac_refr = (eta_it * eta_it) * jnp.abs(odoth) / jnp.maximum(
+        sqrt_den * sqrt_den, 1e-12
+    )
+    pdf = pdf_h * jnp.where(
+        reflecting, f * jac_refl, (1.0 - f) * jac_refr
+    )
+    ok = (jnp.abs(cos_i) > 1e-6) & geom_ok
+    return jnp.where(ok[..., None], fval, 0.0), jnp.where(ok, pdf, 0.0)
 
 
 def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray):
@@ -101,16 +220,44 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray):
         cos_a, n_exp
     )
 
+    # Rough plastic: dielectric-Fresnel GGX coat + corrected diffuse base
+    # (reference: bsdfs/roughplastic.cpp).
+    f_h, _, _, _ = fresnel_dielectric(jnp.sum(wi * h, axis=-1), params["eta"])
+    f_rp = (
+        params["specular"] * (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-12))[..., None]
+        + _plastic_diffuse(params, cos_i, cos_o)
+    )
+    p_spec_rp, _ = _plastic_probs(params, cos_i)
+    pdf_rp = p_spec_rp * pdf_rc + (1.0 - p_spec_rp) * pdf_diff
+
+    # Smooth plastic: only the diffuse lobe is smooth
+    # (reference: bsdfs/plastic.cpp); the specular lobe is a delta.
+    f_pl = _plastic_diffuse(params, cos_i, cos_o)
+    p_spec_pl, _ = _plastic_probs(params, cos_i)
+    pdf_pl = (1.0 - p_spec_pl) * pdf_diff
+
+    # Rough dielectric (two-sided, transmission).
+    f_rd, pdf_rd = _eval_pdf_roughdielectric(params, wi, wo)
+
     zero3 = jnp.zeros_like(f_diff)
     f = jnp.where((t == BSDF_DIFFUSE)[..., None], f_diff, zero3)
     f = jnp.where((t == BSDF_ROUGHCONDUCTOR)[..., None], f_rc, f)
     f = jnp.where((t == BSDF_PHONG)[..., None], f_ph, f)
+    f = jnp.where((t == BSDF_ROUGHPLASTIC)[..., None], f_rp, f)
+    f = jnp.where((t == BSDF_PLASTIC)[..., None], f_pl, f)
     pdf = jnp.where(t == BSDF_DIFFUSE, pdf_diff, 0.0)
     pdf = jnp.where(t == BSDF_ROUGHCONDUCTOR, pdf_rc, pdf)
     pdf = jnp.where(t == BSDF_PHONG, pdf_ph, pdf)
+    pdf = jnp.where(t == BSDF_ROUGHPLASTIC, pdf_rp, pdf)
+    pdf = jnp.where(t == BSDF_PLASTIC, pdf_pl, pdf)
 
     f = jnp.where(front[..., None], f, 0.0)
     pdf = jnp.where(front, pdf, 0.0)
+    # Rough dielectric is two-sided (its own masking), applied after the
+    # front-hemisphere gate.
+    is_rd = t == BSDF_ROUGHDIELECTRIC
+    f = jnp.where(is_rd[..., None], f_rd, f)
+    pdf = jnp.where(is_rd, pdf_rd, pdf)
     return f, pdf
 
 
@@ -188,6 +335,72 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         (pdf_ph > 0.0)[..., None], f_ph / jnp.maximum(pdf_ph, 1e-20)[..., None], 0.0
     )
 
+    # --- rough dielectric (Walter + VNDF) ---
+    # Sample the VNDF in a frame where wi is above the surface; for inside
+    # rays (cos_i < 0) the physical facet is the central inversion of the
+    # sampled one, whose UPPER-oriented normal is again m_rd (GGX D and
+    # Smith G are inversion-symmetric). All signed cosines below are w.r.t.
+    # this upper-oriented normal, which is exactly the convention
+    # fresnel_dielectric and Walter eq. 40 expect.
+    cos_sign = jnp.sign(cos_i)
+    wi_u = wi * cos_sign[..., None]
+    m_rd = mf.sample_vndf(wi_u, alpha, u2)
+    idotm = jnp.sum(wi * m_rd, axis=-1)  # signed: negative when inside
+    f_m, cos_t_m, eta_it_rd, eta_ti_rd = fresnel_dielectric(idotm, params["eta"])
+    pick_refl_rd = u1 < f_m
+    wo_rd_refl = 2.0 * idotm[..., None] * m_rd - wi
+    # Refraction through m (Walter eq. 40).
+    wo_rd_refr = (
+        (eta_ti_rd * idotm - jnp.sign(idotm) * jnp.sqrt(
+            jnp.maximum(1.0 + eta_ti_rd * eta_ti_rd * (idotm * idotm - 1.0), 0.0)
+        ))[..., None] * m_rd
+        - eta_ti_rd[..., None] * wi
+    )
+    wo_rd = jnp.where(pick_refl_rd[..., None], wo_rd_refl, wo_rd_refr)
+    wo_rd = normalize(wo_rd)
+    wo_u_rd = wo_rd * jnp.sign(wo_rd[..., 2:3])
+    g1o_rd = mf.smith_g1(wo_u_rd, m_rd, alpha)
+    w_rd = jnp.where(
+        pick_refl_rd[..., None],
+        params["specular"] * g1o_rd[..., None],
+        params["albedo"] * (g1o_rd / (eta_it_rd * eta_it_rd))[..., None],
+    )
+    # Reject degenerate refraction (TIR handled by F=1 → always reflect).
+    good_side = jnp.where(
+        pick_refl_rd, wo_rd[..., 2] * cos_i > 0.0, wo_rd[..., 2] * cos_i < 0.0
+    )
+    w_rd = jnp.where(good_side[..., None], w_rd, 0.0)
+    _, pdf_rd_s = _eval_pdf_roughdielectric(params, wi, wo_rd)
+    eta_rd = jnp.where(pick_refl_rd, 1.0, eta_it_rd)
+
+    # --- plastic (delta coat + diffuse base) ---
+    p_spec_pl, f_i_pl = _plastic_probs(params, cos_i)
+    pick_spec_pl = u1 < p_spec_pl
+    wo_pl = jnp.where(pick_spec_pl[..., None], reflect(wi), wo_diff)
+    w_pl_spec = params["specular"] * (f_i_pl / jnp.maximum(p_spec_pl, 1e-6))[..., None]
+    f_pl_d = _plastic_diffuse(params, cos_i, wo_pl[..., 2])
+    pdf_pl_d = (1.0 - p_spec_pl) * warp.square_to_cosine_hemisphere_pdf(wo_pl)
+    w_pl_diff = jnp.where(
+        (pdf_pl_d > 0.0)[..., None], f_pl_d / jnp.maximum(pdf_pl_d, 1e-20)[..., None], 0.0
+    )
+    w_pl = jnp.where(pick_spec_pl[..., None], w_pl_spec, w_pl_diff)
+    pdf_pl = jnp.where(pick_spec_pl, p_spec_pl, pdf_pl_d)
+
+    # --- rough plastic (GGX coat + diffuse base, all smooth) ---
+    p_spec_rp, _ = _plastic_probs(params, cos_i)
+    pick_spec_rp = u1 < p_spec_rp
+    m_rp = mf.sample_vndf(wi, alpha, u2)
+    wo_rp_spec = 2.0 * jnp.sum(wi * m_rp, axis=-1, keepdims=True) * m_rp - wi
+    wo_rp = jnp.where(pick_spec_rp[..., None], wo_rp_spec, wo_diff)
+    f_rp_e, pdf_rp_e = eval_pdf(
+        {**params, "type": jnp.full_like(t, BSDF_ROUGHPLASTIC)}, wi, wo_rp
+    )
+    w_rp = jnp.where(
+        (pdf_rp_e > 0.0)[..., None],
+        f_rp_e / jnp.maximum(pdf_rp_e, 1e-20)[..., None],
+        0.0,
+    )
+
     # --- select by type ---
     def sel3(vals):
         out = jnp.zeros_like(wo_diff)
@@ -204,23 +417,34 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
     wo = sel3([
         (BSDF_DIFFUSE, wo_diff), (BSDF_CONDUCTOR, wo_cond),
         (BSDF_DIELECTRIC, wo_diel), (BSDF_ROUGHCONDUCTOR, wo_rc),
-        (BSDF_PHONG, wo_ph),
+        (BSDF_PHONG, wo_ph), (BSDF_ROUGHDIELECTRIC, wo_rd),
+        (BSDF_PLASTIC, wo_pl), (BSDF_ROUGHPLASTIC, wo_rp),
     ])
     weight = sel3([
         (BSDF_DIFFUSE, w_diff), (BSDF_CONDUCTOR, w_cond),
         (BSDF_DIELECTRIC, w_diel), (BSDF_ROUGHCONDUCTOR, w_rc),
-        (BSDF_PHONG, w_ph),
+        (BSDF_PHONG, w_ph), (BSDF_ROUGHDIELECTRIC, w_rd),
+        (BSDF_PLASTIC, w_pl), (BSDF_ROUGHPLASTIC, w_rp),
     ])
     pdf = sel1([
         (BSDF_DIFFUSE, pdf_diff), (BSDF_CONDUCTOR, jnp.ones_like(cos_i)),
         (BSDF_DIELECTRIC, pdf_diel), (BSDF_ROUGHCONDUCTOR, pdf_rc),
-        (BSDF_PHONG, pdf_ph),
+        (BSDF_PHONG, pdf_ph), (BSDF_ROUGHDIELECTRIC, pdf_rd_s),
+        (BSDF_PLASTIC, pdf_pl), (BSDF_ROUGHPLASTIC, pdf_rp_e),
     ])
-    delta = (t == BSDF_CONDUCTOR) | (t == BSDF_DIELECTRIC)
-    eta = sel1([(BSDF_DIELECTRIC, eta_diel)], default=1.0)
+    delta = (
+        (t == BSDF_CONDUCTOR)
+        | (t == BSDF_DIELECTRIC)
+        | ((t == BSDF_PLASTIC) & pick_spec_pl)
+    )
+    eta = sel1(
+        [(BSDF_DIELECTRIC, eta_diel), (BSDF_ROUGHDIELECTRIC, eta_rd)], default=1.0
+    )
 
     # Reflective models need wi on the front side.
-    needs_front = (t != BSDF_DIELECTRIC) & (t != BSDF_NULL)
+    needs_front = (
+        (t != BSDF_DIELECTRIC) & (t != BSDF_ROUGHDIELECTRIC) & (t != BSDF_NULL)
+    )
     ok = jnp.where(needs_front, cos_i > 1e-6, True)
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)

@@ -43,7 +43,11 @@ def shading_frame(params, ns, wi_world):
     true normal for dielectrics.
     """
     cos_i = jnp.sum(ns * wi_world, axis=-1)
-    transmissive = params["type"] == BSDF_DIELECTRIC
+    from ..scene.scene import BSDF_ROUGHDIELECTRIC
+
+    transmissive = (params["type"] == BSDF_DIELECTRIC) | (
+        params["type"] == BSDF_ROUGHDIELECTRIC
+    )
     flip = (cos_i < 0.0) & ~transmissive
     n = jnp.where(flip[..., None], -ns, ns)
     s, t = coordinate_system(n)

@@ -24,7 +24,10 @@ from .scene import (
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
     BSDF_PHONG,
+    BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
+    BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHPLASTIC,
     SceneBuilder,
 )
 
@@ -250,20 +253,26 @@ class XMLLoader:
             ext_v = DIELECTRIC_IOR.get(ext_ior, None) if isinstance(ext_ior, str) else float(ext_ior)
             int_v = 1.5046 if int_v is None else int_v
             ext_v = 1.000277 if ext_v is None else ext_v
-            code = BSDF_DIELECTRIC
+            code = BSDF_ROUGHDIELECTRIC if btype == "roughdielectric" else BSDF_DIELECTRIC
             kwargs["eta"] = int_v / ext_v
             kwargs["specular"] = p.get("specularReflectance", np.ones(3))
             kwargs["albedo"] = p.get("specularTransmittance", np.ones(3))
+            kwargs["alpha"] = float(p.get("alpha", 0.1))
         elif btype == "phong":
             code = BSDF_PHONG
             kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
             kwargs["specular"] = p.get("specularReflectance", np.full(3, 0.2))
             kwargs["exponent"] = float(p.get("exponent", 30.0))
         elif btype in ("roughplastic", "plastic"):
-            # Approximated as diffuse + GGX coat is future work; use phong-ish
-            # fallback: diffuse base for now.
-            code = BSDF_DIFFUSE
+            int_ior = p.get("intIOR", "polypropylene")
+            ext_ior = p.get("extIOR", "air")
+            int_v = DIELECTRIC_IOR.get(int_ior, 1.49) if isinstance(int_ior, str) else float(int_ior)
+            ext_v = DIELECTRIC_IOR.get(ext_ior, 1.000277) if isinstance(ext_ior, str) else float(ext_ior)
+            code = BSDF_ROUGHPLASTIC if btype == "roughplastic" else BSDF_PLASTIC
             kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
+            kwargs["specular"] = p.get("specularReflectance", np.ones(3))
+            kwargs["eta"] = int_v / ext_v
+            kwargs["alpha"] = float(p.get("alpha", 0.1))
         else:
             code = BSDF_DIFFUSE
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
