@@ -20,6 +20,9 @@ BASELINE_RAYS_PER_S = 146e6  # cornell-box GT, 128 CPU cores (BASELINE.md)
 
 
 def main():
+    from sdmm_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()
     import jax
     import jax.numpy as jnp
 

@@ -31,6 +31,9 @@ def _parse_defines(pairs):
 def cmd_render(args):
     import numpy as np
 
+    from .utils.cache import enable as enable_cache
+
+    enable_cache()
     from .scene.xml_loader import load_scene
     from .utils.exr import write_exr
 

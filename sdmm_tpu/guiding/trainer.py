@@ -41,6 +41,8 @@ class TrainerConfig:
     em: em_mod.EMConfig = field(default_factory=em_mod.EMConfig)
     seed: int = 1234
     double_em_until: int = 4  # 2 EM inner steps early (volpath_sdmm.cpp:299)
+    sample_product: bool = False  # learned-BSDF product sampling (reference
+    # sampleProduct flag, sdmm_config.h)
 
 
 class SDMMTrainer:
@@ -74,6 +76,12 @@ class SDMMTrainer:
         self.iteration = 0
         self.total_spp = 0
         self.stats: list[dict] = []
+        if c.sample_product:
+            from .learned_bsdf import build_learned_table
+
+            self.learned = build_learned_table(scene)
+        else:
+            self.learned = None
 
     # ------------------------------------------------------------------
 
@@ -83,6 +91,7 @@ class SDMMTrainer:
             tables=self.tables,
             aabb_lo=self.scene.aabb_lo,
             inv_norm=jnp.float32(1.0 / self.spatial_norm),
+            learned=self.learned,
         )
 
     def _apply_copies(self, copies):

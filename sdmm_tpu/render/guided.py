@@ -49,6 +49,7 @@ class GuideState(NamedTuple):
     tables: dict  # STree device tables
     aabb_lo: jnp.ndarray  # [3] world-space scene AABB min
     inv_norm: jnp.ndarray  # [] 1 / spatialNormalization
+    learned: dict | None = None  # learned-BSDF DMM table (product sampling)
 
 
 def canonical(gs: GuideState, p: jnp.ndarray) -> jnp.ndarray:
@@ -111,9 +112,24 @@ def trace_wave_guided(
         delta_only = bsdf_mod.is_delta_only(params)
         guide_ok = use_guide & cond.valid & ~delta_only
 
+        # Optional learned-BSDF product sampling
+        # (reference: sampleProduct, sdmm_proc.cpp:327-381).
+        if gs.learned is not None:
+            from ..guiding.learned_bsdf import to_world_conditional
+
+            learned_cond, has_dmm = to_world_conditional(
+                gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
+            )
+            prod = mix.product(cond, learned_cond)
+            use_product = guide_ok & has_dmm & prod.valid
+        else:
+            use_product = jnp.zeros(n, dtype=bool)
+            prod = None
+
         # One-sample MIS weight between BSDF and mixture sampling
         # (reference heuristic weights {1, .5, .3, 0}, sdmm_proc.cpp:383-392).
         h = jnp.where(guide_ok, bsdf_fraction, 1.0)
+        h = jnp.where(use_product, 0.3, h)
 
         k_sel, k_b1, k_b2, k_g, k_rr = jax.random.split(k, 5)
         u_sel = jax.random.uniform(k_sel, (n,))
@@ -126,6 +142,10 @@ def trace_wave_guided(
 
         # Branch B: mixture directional sampling (world space).
         d_guide, g_ok = mix.conditional_sample(cond, k_g)
+        if prod is not None:
+            d_prod, p_ok = mix.conditional_sample(prod, jax.random.fold_in(k_g, 1))
+            d_guide = jnp.where(use_product[..., None], d_prod, d_guide)
+            g_ok = jnp.where(use_product, p_ok, g_ok)
         wo_guide_local = to_local(s_ax, t_ax, n_ax, d_guide)
 
         wo_local = jnp.where(take_bsdf[..., None], bs["wo"], wo_guide_local)
@@ -138,6 +158,9 @@ def trace_wave_guided(
         # (pdfSurface, sdmm_proc.cpp:587-589).
         f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf(params, wi_local, wo_local)
         gmm_pdf = jnp.where(guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
+        if prod is not None:
+            prod_pdf = mix.conditional_pdf(prod, wo_world)
+            gmm_pdf = jnp.where(use_product, prod_pdf, gmm_pdf)
         mis_pdf = h * bsdf_pdf_eval + (1.0 - h) * gmm_pdf
 
         # Per-branch throughput weight:

@@ -24,7 +24,10 @@ def generate_rays(
     aspect = width / height
     ndc_x = pixel_xy[..., 0] / width
     ndc_y = pixel_xy[..., 1] / height
-    sx = 2.0 * ndc_x - 1.0
+    # Mitsuba 0.6 screen convention: camera-space +x maps to image LEFT
+    # (with the scene toWorld matrices' x-flip this yields the standard
+    # red-left/green-right Cornell orientation).
+    sx = 1.0 - 2.0 * ndc_x
     sy = 1.0 - 2.0 * ndc_y
     tan_half = scene.cam_tan_half_fov
     if fov_axis == "x":

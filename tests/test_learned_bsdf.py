@@ -1,0 +1,98 @@
+"""Learned-BSDF mixtures + product sampling (reference S6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdmm_tpu.core import warp
+from sdmm_tpu.guiding import mixture as mix
+from sdmm_tpu.guiding.learned_bsdf import (
+    build_learned_table,
+    cosine_dmm,
+    fit_directional_mixture,
+    to_world_conditional,
+)
+from sdmm_tpu.guiding import em as em_mod
+from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
+
+from test_render import make_box_scene
+from test_mixture import fibonacci_sphere
+
+
+def test_cosine_dmm_matches_cosine_lobe():
+    w, mu, cov = cosine_dmm(4)
+    assert abs(w.sum() - 1.0) < 1e-4
+    # Build a Conditional at identity orientation and compare to cos/pi.
+    rot = np.asarray(jax.vmap(lambda m: jnp.eye(3))(jnp.zeros((4,))))
+    from sdmm_tpu.guiding import tangent as tg
+
+    c = mix.Conditional(
+        weight=jnp.asarray(w),
+        mu_dir=jnp.asarray(mu),
+        rot=tg.make_rotation(jnp.asarray(mu)),
+        chol=jnp.linalg.cholesky(jnp.asarray(cov)),
+        inv_chol=jnp.linalg.inv(jnp.linalg.cholesky(jnp.asarray(cov))),
+        inv_det=1.0 / jnp.sqrt(jnp.linalg.det(jnp.asarray(cov))),
+        valid=jnp.asarray(True),
+    )
+    dirs = jnp.asarray(fibonacci_sphere(20000), jnp.float32)
+    pdf = np.asarray(mix.conditional_pdf(c, dirs))
+    target = np.maximum(np.asarray(dirs)[:, 2], 0.0) / np.pi
+    # Integrates to ~1 and correlates strongly with the cosine lobe.
+    integral = pdf.mean() * 4 * np.pi
+    assert abs(integral - 1.0) < 0.03
+    corr = np.corrcoef(pdf, target)[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_fit_recovers_vmf_like_lobe():
+    key = jax.random.PRNGKey(0)
+    # Narrow lobe around +x.
+    u = jax.random.normal(key, (8000, 3)) * 0.15 + jnp.array([1.0, 0.0, 0.0])
+    d = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    w, mu, cov = fit_directional_mixture(d, jnp.ones(8000), n_components=2, iters=20)
+    dom = np.argmax(w)
+    assert np.dot(mu[dom], [1.0, 0.0, 0.0]) > 0.99
+
+
+def test_learned_table_and_world_rotation():
+    b = make_box_scene(8, 8)
+    scene, cfg = b.build()
+    table = build_learned_table(scene)
+    assert bool(table["has"][0])  # diffuse walls have a DMM
+    n = 16
+    bsdf_idx = jnp.zeros(n, jnp.int32)
+    n_ax = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))  # +y normal
+    s_ax = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (n, 1))
+    t_ax = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (n, 1))
+    wi_local = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    c, has = to_world_conditional(table, bsdf_idx, s_ax, t_ax, n_ax, wi_local)
+    assert bool(has.all())
+    # Cosine DMM rotated to a +y normal: pdf(+y) >> pdf(-y).
+    c0 = jax.tree.map(lambda x: x[0], c)
+    up = float(mix.conditional_pdf(c0, jnp.asarray([0.0, 1.0, 0.0])))
+    down = float(mix.conditional_pdf(c0, jnp.asarray([0.0, -1.0, 0.0])))
+    assert up > 100 * max(down, 1e-9), (up, down)
+
+
+def test_product_training_runs_unbiased():
+    b = make_box_scene(16, 16)
+    scene, cfg = b.build()
+    cfg.max_depth = 3
+    cfg.rr_depth = 3
+    tc = TrainerConfig(
+        n_components=8, max_leaves=32, split_threshold=2000,
+        samples_per_iteration=2, rays_per_wave=16 * 16,
+        em=em_mod.EMConfig(batch_size=1 << 11), sample_product=True,
+    )
+    trainer = SDMMTrainer(scene, cfg, tc)
+    combined, iters = trainer.run(total_spp=24)
+    assert np.isfinite(combined).all()
+    from sdmm_tpu.render.renderer import render
+
+    ref = render(scene, cfg, spp=256, seed=9, rays_per_wave=16 * 16, nee=True)
+    rel = abs(combined.mean() - np.asarray(ref["image"]).mean()) / np.asarray(
+        ref["image"]
+    ).mean()
+    assert rel < 0.2, rel
