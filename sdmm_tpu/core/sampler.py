@@ -1,0 +1,73 @@
+"""Sample generators: independent, stratified, and low-discrepancy.
+
+TPU-native equivalents of the reference sampler plugins
+(reference: mitsuba/src/samplers/{independent,stratified,halton,
+ldsampler}.cpp and mitsuba/include/mitsuba/render/sampler.h). In wavefront
+form a "sampler" is a function from (pixel id, sample index, dimension) to
+uniforms; independent uses counter-based Threefry, the QMC samplers use
+radical-inverse points with per-pixel Cranley-Patterson rotations so pixels
+decorrelate (the reference permutes scrambled digits instead).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+
+
+def radical_inverse(idx: jnp.ndarray, base: int, n_digits: int = 20) -> jnp.ndarray:
+    """Van der Corput radical inverse of integer indices in the given base."""
+    inv_base = 1.0 / base
+    result = jnp.zeros(idx.shape, dtype=jnp.float32)
+    factor = inv_base
+    x = idx
+
+    for _ in range(n_digits):
+        digit = x % base
+        result = result + digit.astype(jnp.float32) * factor
+        x = x // base
+        factor = factor * inv_base
+    return result
+
+
+def halton_2d(sample_idx: jnp.ndarray, pixel_id: jnp.ndarray, key, dim_pair: int = 0):
+    """2-D Halton points with per-pixel Cranley-Patterson rotation."""
+    b0 = PRIMES[(2 * dim_pair) % len(PRIMES)]
+    b1 = PRIMES[(2 * dim_pair + 1) % len(PRIMES)]
+    u = radical_inverse(sample_idx, b0)
+    v = radical_inverse(sample_idx, b1)
+    # Rotation keyed by pixel: decorrelates pixels, keeps stratification.
+    pk = jax.vmap(lambda p: jax.random.uniform(jax.random.fold_in(key, p), (2,)))(
+        pixel_id
+    )
+    return jnp.stack([(u + pk[..., 0]) % 1.0, (v + pk[..., 1]) % 1.0], axis=-1)
+
+
+def stratified_2d(sample_idx: jnp.ndarray, n_samples: int, pixel_id: jnp.ndarray, key):
+    """Stratified 2-D jitter over a ⌈√n⌉×⌈√n⌉ grid per pixel."""
+    import math
+
+    res = max(1, int(math.isqrt(n_samples)))
+    sx = (sample_idx % res).astype(jnp.float32)
+    sy = ((sample_idx // res) % res).astype(jnp.float32)
+    pk = jax.vmap(
+        lambda p: jax.random.uniform(
+            jax.random.fold_in(key, p), (2,)
+        )
+    )(pixel_id)
+    u = (sx + pk[..., 0]) / res
+    v = (sy + pk[..., 1]) / res
+    return jnp.stack([u % 1.0, v % 1.0], axis=-1)
+
+
+def camera_jitter(
+    kind: str, key, pixel_id: jnp.ndarray, sample_idx: jnp.ndarray, n_samples: int
+):
+    """Pixel-jitter for the camera dimension under the chosen sampler."""
+    if kind == "stratified":
+        return stratified_2d(sample_idx, n_samples, pixel_id, key)
+    if kind == "halton":
+        return halton_2d(sample_idx, pixel_id, key)
+    return jax.random.uniform(key, pixel_id.shape + (2,))

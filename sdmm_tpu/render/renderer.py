@@ -9,6 +9,8 @@ waves executed as jitted device programs, with film accumulation on device.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,8 +28,15 @@ def render(
     rays_per_wave: int = 1 << 16,
     nee: bool = True,
     trace_fn=None,
+    sampler: str = "independent",
 ):
-    """Render an image; returns dict(image [H,W,3], sqr, weight)."""
+    """Render an image; returns dict(image [H,W,3], sqr, weight).
+
+    sampler: independent | stratified | halton (camera-jitter dimension;
+    reference sampler plugins, SURVEY.md C19).
+    """
+    from ..core.sampler import camera_jitter
+
     w, h = cfg.width, cfg.height
     n_pix = w * h
     image = jnp.zeros((n_pix, 3))
@@ -45,9 +54,12 @@ def render(
     pix = np.arange(n_waves * wave, dtype=np.int32) % n_pix
 
     @jax.jit
-    def run_wave(image, sqr, weight, key, pixel_idx):
+    def run_wave(image, sqr, weight, key, pixel_idx, s_idx):
         kj, kt = jax.random.split(key)
-        u = jax.random.uniform(kj, (pixel_idx.shape[0], 2))
+        sample_idx = jnp.broadcast_to(s_idx, pixel_idx.shape).astype(jnp.int32)
+        u = camera_jitter(sampler, jax.random.fold_in(jax.random.PRNGKey(seed), 77),
+                          pixel_idx, sample_idx, spp) if sampler != "independent" \
+            else jax.random.uniform(kj, (pixel_idx.shape[0], 2))
         px = (pixel_idx % w).astype(jnp.float32) + u[:, 0]
         py = (pixel_idx // w).astype(jnp.float32) + u[:, 1]
         ro, rd = generate_rays(scene, jnp.stack([px, py], axis=-1), w, h, cfg.fov_axis)
@@ -60,7 +72,9 @@ def render(
         for wv in range(n_waves):
             k = jax.random.fold_in(jax.random.fold_in(key, s), wv)
             idx = jnp.asarray(pix[wv * wave : (wv + 1) * wave])
-            image, sqr, weight = run_wave(image, sqr, weight, k, idx)
+            image, sqr, weight = run_wave(
+                image, sqr, weight, k, idx, jnp.int32(s)
+            )
     return {
         "image": film_mod.develop(image, weight).reshape(h, w, 3),
         "sqr": np.asarray(sqr).reshape(h, w, 3),

@@ -123,7 +123,8 @@ def trace_wave(
                 jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
             )[..., None]
             occ = isect.occluded(scene, shadow_o, ls["d"], ls["dist"] * (1.0 - 1e-3))
-            w = mi_weight(ls["pdf"], pdf_b)
+            # Delta lights (point) cannot be hit by BSDF sampling → weight 1.
+            w = jnp.where(ls["delta"], 1.0, mi_weight(ls["pdf"], pdf_b))
             contrib = (
                 throughput
                 * f

@@ -15,40 +15,92 @@ from ..core.frame import normalize
 
 
 def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
-    """Sample a point on an emissive triangle; returns solid-angle record.
+    """Direct-illumination sample (area triangles + point lights).
 
-    p: [N, 3] reference points; u1: [N]; u2: [N, 2].
+    p: [N, 3] reference points; u1: [N]; u2: [N, 2]. The record's
+    ``radiance`` already folds distance falloff for delta lights; ``pdf``
+    is solid-angle for area samples and the discrete selection pmf for
+    delta lights (``delta`` marks them; MIS weight must be 1 there).
     """
+    n_rays = p.shape[0]
     m = scene.em_tri_idx.shape[0]
-    if m == 0:
-        z = jnp.zeros(p.shape[0])
-        return {
-            "d": jnp.zeros_like(p), "dist": z, "pdf": z,
-            "radiance": jnp.zeros_like(p), "n": jnp.zeros_like(p),
-            "valid": jnp.zeros(p.shape[0], dtype=bool),
-        }
-    sel = jnp.clip(jnp.searchsorted(scene.em_tri_cdf, u1), 0, m - 1)
-    tri = scene.em_tri_idx[sel]
-    b = warp.square_to_uniform_triangle(u2)
-    y = (
-        scene.tri_v0[tri]
-        + b[..., 0:1] * scene.tri_e1[tri]
-        + b[..., 1:2] * scene.tri_e2[tri]
-    )
-    n = scene.tri_ng[tri]
-    to_y = y - p
-    dist2 = jnp.sum(to_y * to_y, axis=-1)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
-    d = to_y / dist[..., None]
-    cos_l = -jnp.sum(n * d, axis=-1)
-    pdf_area = scene.em_tri_pdf[sel] / jnp.maximum(scene.em_tri_area[sel], 1e-20)
-    pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-12)
-    valid = (cos_l > 1e-6) & (dist2 > 1e-12)
-    radiance = scene.emitter_radiance[scene.tri_emitter[tri]]
-    return {
-        "d": d, "dist": dist, "pdf": jnp.where(valid, pdf_sa, 0.0),
-        "radiance": radiance, "n": n, "valid": valid,
+    n_pt = scene.pt_pos.shape[0]
+    zero = {
+        "d": jnp.zeros_like(p), "dist": jnp.zeros(n_rays), "pdf": jnp.zeros(n_rays),
+        "radiance": jnp.zeros_like(p), "n": jnp.zeros_like(p),
+        "valid": jnp.zeros(n_rays, dtype=bool),
+        "delta": jnp.zeros(n_rays, dtype=bool),
     }
+    if m == 0 and n_pt == 0:
+        return zero
+
+    rec = dict(zero)
+    if n_pt:
+        pt_prob = scene.pt_select_prob
+        pick_pt = u1 < pt_prob
+        # Re-stretch u1 within the chosen branch.
+        u1 = jnp.where(pick_pt, u1 / jnp.maximum(pt_prob, 1e-9),
+                       (u1 - pt_prob) / jnp.maximum(1.0 - pt_prob, 1e-9))
+        sel_pt = jnp.clip(jnp.searchsorted(scene.pt_cdf, u2[..., 0]), 0, n_pt - 1)
+        pmf_pt = scene.pt_cdf[sel_pt] - jnp.where(
+            sel_pt > 0, scene.pt_cdf[jnp.maximum(sel_pt - 1, 0)], 0.0
+        )
+        to_l = scene.pt_pos[sel_pt] - p
+        dist2 = jnp.sum(to_l * to_l, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        d_pt = to_l / dist[..., None]
+        # Fold 1/r² falloff and selection pmfs into the radiance value.
+        rad_pt = scene.pt_intensity[sel_pt] / (
+            dist2 * pmf_pt * jnp.maximum(pt_prob, 1e-9)
+        )[..., None]
+        rec_pt = {
+            "d": d_pt, "dist": dist, "pdf": jnp.ones(n_rays),
+            "radiance": rad_pt, "n": -d_pt,
+            "valid": dist2 > 1e-12,
+            "delta": jnp.ones(n_rays, dtype=bool),
+        }
+    else:
+        pick_pt = jnp.zeros(n_rays, dtype=bool)
+        rec_pt = zero
+
+    if m:
+        sel = jnp.clip(jnp.searchsorted(scene.em_tri_cdf, u1), 0, m - 1)
+        tri = scene.em_tri_idx[sel]
+        b = warp.square_to_uniform_triangle(u2)
+        y = (
+            scene.tri_v0[tri]
+            + b[..., 0:1] * scene.tri_e1[tri]
+            + b[..., 1:2] * scene.tri_e2[tri]
+        )
+        n = scene.tri_ng[tri]
+        to_y = y - p
+        dist2 = jnp.sum(to_y * to_y, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        d = to_y / dist[..., None]
+        cos_l = -jnp.sum(n * d, axis=-1)
+        pdf_area = scene.em_tri_pdf[sel] / jnp.maximum(scene.em_tri_area[sel], 1e-20)
+        pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-12)
+        if n_pt:
+            pdf_sa = pdf_sa * (1.0 - scene.pt_select_prob)
+        valid = (cos_l > 1e-6) & (dist2 > 1e-12)
+        rec_area = {
+            "d": d, "dist": dist, "pdf": jnp.where(valid, pdf_sa, 0.0),
+            "radiance": scene.emitter_radiance[scene.tri_emitter[tri]],
+            "n": n, "valid": valid,
+            "delta": jnp.zeros(n_rays, dtype=bool),
+        }
+    else:
+        rec_area = zero
+        pick_pt = jnp.ones(n_rays, dtype=bool)
+
+    out = {}
+    for k in zero:
+        a, b_ = rec_pt[k], rec_area[k]
+        if a.ndim > 1:
+            out[k] = jnp.where(pick_pt[..., None], a, b_)
+        else:
+            out[k] = jnp.where(pick_pt, a, b_)
+    return out
 
 
 def tri_pdf_over_area(scene):

@@ -63,6 +63,12 @@ class SceneData(NamedTuple):
     em_tri_pdf: jnp.ndarray  # [M] discrete probability of each tri
     em_tri_area: jnp.ndarray  # [M]
     env_radiance: jnp.ndarray  # [3] constant environment (zeros = none)
+    # Point lights (delta emitters; reference: src/emitters/point.cpp).
+    pt_pos: jnp.ndarray  # [P, 3]
+    pt_intensity: jnp.ndarray  # [P, 3]
+    pt_cdf: jnp.ndarray  # [P] selection CDF by power
+    # Fraction of NEE samples sent to point lights vs area lights.
+    pt_select_prob: jnp.ndarray  # []
     # Sensor.
     cam_to_world: jnp.ndarray  # [4, 4]
     cam_tan_half_fov: jnp.ndarray  # [] tan(fov_x / 2)
@@ -101,6 +107,7 @@ class SceneBuilder:
     bsdfs: list[dict] = field(default_factory=list)
     bsdf_ids: dict = field(default_factory=dict)
     emitters: list[np.ndarray] = field(default_factory=list)
+    point_lights: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
     env_radiance: np.ndarray | None = None
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     fov_deg: float = 45.0
@@ -133,6 +140,11 @@ class SceneBuilder:
         self.emitters.append(np.asarray(radiance, dtype=np.float64))
         return len(self.emitters) - 1
 
+    def add_point_light(self, position, intensity):
+        self.point_lights.append(
+            (np.asarray(position, dtype=np.float64), np.asarray(intensity, dtype=np.float64))
+        )
+
     def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1):
         self.soups.append((soup, bsdf, emitter))
 
@@ -143,6 +155,23 @@ class SceneBuilder:
         self.width = int(width)
         self.height = int(height)
         self.fov_axis = fov_axis
+
+    def _pt_cdf(self):
+        if not self.point_lights:
+            return np.zeros(0)
+        power = np.asarray([luminance(i) for _, i in self.point_lights])
+        power = np.maximum(power, 1e-20)
+        return np.cumsum(power / power.sum())
+
+    def _pt_select_prob(self, area_power: float):
+        """Probability of routing an NEE sample to the point-light set
+        (balanced by total emitter power)."""
+        if not self.point_lights:
+            return 0.0
+        pt_power = sum(4.0 * np.pi * luminance(i) for _, i in self.point_lights)
+        if area_power <= 0.0:
+            return 1.0
+        return float(pt_power / (pt_power + area_power))
 
     def build(self, pad_tris_to: int | None = None) -> tuple[SceneData, RenderConfig]:
         all_v, all_n, all_b, all_e = [], [], [], []
@@ -173,11 +202,13 @@ class SceneBuilder:
             rad = np.array([self.emitters[tri_emitter[i]] for i in em_idx])
             power = areas * np.maximum(luminance(rad), 1e-20)
             pdf = power / power.sum()
+            area_power_total = float(np.pi * power.sum())
             cdf = np.cumsum(pdf)
         else:
             areas = np.zeros(0)
             pdf = np.zeros(0)
             cdf = np.zeros(0)
+            area_power_total = 0.0
 
         aabb = AABB.empty()
         if len(verts):
@@ -226,6 +257,12 @@ class SceneBuilder:
             em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),
             em_tri_area=f32(areas),
             env_radiance=f32(self.env_radiance if self.env_radiance is not None else np.zeros(3)),
+            pt_pos=f32(np.asarray([p for p, _ in self.point_lights]).reshape(-1, 3)),
+            pt_intensity=f32(
+                np.asarray([i for _, i in self.point_lights]).reshape(-1, 3)
+            ),
+            pt_cdf=f32(self._pt_cdf()),
+            pt_select_prob=f32(self._pt_select_prob(area_power_total)),
             cam_to_world=f32(self.cam_to_world),
             cam_tan_half_fov=f32(np.tan(0.5 * fov)),
             aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),

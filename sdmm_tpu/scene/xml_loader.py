@@ -195,10 +195,23 @@ class XMLLoader:
                 self._shape(el, base_dir)
             elif tag == "emitter":
                 p = _props(el, self.variables)
-                if el.get("type") == "constant":
+                etype = el.get("type")
+                if etype == "constant":
                     self.builder.env_radiance = np.asarray(
                         p.get("radiance", np.ones(3))
                     ).reshape(3)
+                elif etype == "point":
+                    pos = np.zeros(3)
+                    for sub in el:
+                        if sub.tag == "point" and sub.get("name") == "position":
+                            pos = np.array([
+                                float(_subst(sub.get(ax, "0"), self.variables))
+                                for ax in "xyz"
+                            ])
+                    if "toWorld" in p:
+                        pos = p["toWorld"][:3, 3]
+                    intensity = np.asarray(p.get("intensity", np.ones(3))).reshape(3)
+                    self.builder.add_point_light(pos, intensity)
 
     def _sensor(self, el):
         p = _props(el, self.variables)

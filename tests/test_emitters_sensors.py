@@ -1,0 +1,99 @@
+"""Point lights, sensor variants, samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdmm_tpu.core.sampler import camera_jitter, radical_inverse
+from sdmm_tpu.render.renderer import render
+from sdmm_tpu.scene.scene import BSDF_DIFFUSE, SceneBuilder
+from sdmm_tpu.scene import shapes as shp
+from sdmm_tpu.scene.sensor import generate_rays
+
+
+def point_light_scene():
+    """A diffuse floor lit by a single point light."""
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDF_DIFFUSE, albedo=[0.8, 0.8, 0.8])
+    floor = np.eye(4)
+    floor[:3, :3] = np.array([[2, 0, 0], [0, 0, 2], [0, -2, 0]]).T  # z→ -y? build flat
+    import numpy as _np
+
+    m = _np.eye(4)
+    a = _np.deg2rad(-90)
+    m[1:3, 1:3] = [[_np.cos(a), -_np.sin(a)], [_np.sin(a), _np.cos(a)]]
+    m[:3, :3] = m[:3, :3] @ _np.diag([2.0, 2.0, 1.0])
+    b.add_shape(shp.make_rectangle(m), white)  # floor at y=0, normal +y
+    b.add_point_light([0.0, 1.5, 0.0], [4.0, 4.0, 4.0])
+    cam = _np.eye(4)
+    cam[:3, 3] = [0.0, 1.0, 3.0]
+    cam[0, 0] = -1.0
+    cam[2, 2] = -1.0
+    b.set_sensor(cam, fov_deg=50.0, width=24, height=24)
+    b.max_depth = 2
+    b.rr_depth = 2
+    return b.build()
+
+
+def test_point_light_illumination():
+    scene, cfg = point_light_scene()
+    out = render(scene, cfg, spp=32, seed=0, rays_per_wave=24 * 24, nee=True)
+    img = np.asarray(out["image"])
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01  # light reaches the floor
+    # Inverse-square + cosine: center of floor brighter than edges.
+    h, w, _ = img.shape
+    center = img[h // 2 :, w // 3 : 2 * w // 3].mean()
+    edge = img[h // 2 :, : w // 6].mean()
+    assert center > edge, (center, edge)
+
+
+def test_point_light_analytic_value():
+    """Direct lighting from a point light has a closed form: L = albedo/pi *
+    I * cos(theta) / r^2."""
+    scene, cfg = point_light_scene()
+    out = render(scene, cfg, spp=128, seed=1, rays_per_wave=24 * 24, nee=True)
+    img = np.asarray(out["image"])
+    # Pixel at image center looks at floor point roughly below the camera
+    # axis; instead validate the brightest direct value ~ albedo/pi * I/r²
+    # at the point directly under the light (r=1.5, cos=1).
+    expected = 0.8 / np.pi * 4.0 / (1.5**2)
+    direct_max = img[..., 0].max()
+    # MC render includes indirect (small here) — brightest pixel should be
+    # within a factor ~2 of the analytic direct value.
+    assert 0.5 * expected < direct_max < 3.0 * expected, (direct_max, expected)
+
+
+def test_radical_inverse_base2():
+    idx = jnp.arange(8)
+    ri = np.asarray(radical_inverse(idx, 2))
+    np.testing.assert_allclose(ri, [0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875], atol=1e-6)
+
+
+def test_stratified_sampler_reduces_variance():
+    scene, cfg = point_light_scene()
+    outs = {}
+    for sampler in ("independent", "stratified"):
+        res = render(scene, cfg, spp=16, seed=3, rays_per_wave=24 * 24,
+                     nee=True, sampler=sampler)
+        outs[sampler] = np.asarray(res["image"])
+    # Both estimates agree in mean.
+    a, b = outs["independent"].mean(), outs["stratified"].mean()
+    assert abs(a - b) / a < 0.1, (a, b)
+
+
+def test_sensor_variants_produce_rays():
+    scene, cfg = point_light_scene()
+    pix = jnp.stack([jnp.full((16,), 12.0), jnp.full((16,), 12.0)], axis=-1)
+    for st, kw in [
+        ("perspective", {}),
+        ("orthographic", {"ortho_scale": 2.0}),
+        ("spherical", {}),
+        ("thinlens", {"aperture": 0.1, "focus_dist": 3.0,
+                      "lens_uv": jnp.full((16, 2), 0.3)}),
+    ]:
+        ro, rd = generate_rays(scene, pix, 24, 24, sensor_type=st, **kw)
+        assert np.isfinite(np.asarray(ro)).all()
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(rd, axis=-1)), 1.0, atol=1e-5
+        )
