@@ -55,7 +55,7 @@ def main():
     def run(key):
         return trace_wave(
             scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            nee=True, count_vertices=True,
+            nee=True, count_vertices=True, bsdf_types=cfg.bsdf_types or None,
         )
 
     # Warmup/compile.

@@ -183,263 +183,317 @@ def _eval_pdf_roughdielectric(params, wi, wo):
     return jnp.where(ok[..., None], fval, 0.0), jnp.where(ok, pdf, 0.0)
 
 
-def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray):
-    """Smooth-lobe (f·cosθo, pdf). Delta lobes contribute zero."""
+def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
+             types: tuple | None = None):
+    """Smooth-lobe (f·cosθo, pdf). Delta lobes contribute zero.
+
+    ``types``: static tuple of BSDF codes present in the scene — absent
+    models are compiled out entirely (wavefront shading evaluates all
+    *present* models and mask-selects; this keeps single-material scenes at
+    single-model cost).
+    """
     t = params["type"]
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     front = (cos_i > 1e-6) & (cos_o > 1e-6)
 
-    # Diffuse (reference: bsdfs/diffuse.cpp).
-    f_diff = params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
-    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+    def has(code):
+        return types is None or code in types
 
-    # Rough conductor, GGX + Smith (reference: bsdfs/roughconductor.cpp).
-    h = normalize(wi + wo)
-    alpha = params["alpha"]
-    d = mf.ggx_ndf(h, alpha)
-    g = mf.smith_g1(wi, h, alpha) * mf.smith_g1(wo, h, alpha)
-    f_cond = fresnel_conductor(jnp.sum(wi * h, axis=-1), params["eta"][..., None], params["k"])
-    spec = params["specular"] * f_cond
-    f_rc = spec * (d * g / jnp.maximum(4.0 * cos_i, 1e-12))[..., None]
-    pdf_rc = mf.vndf_pdf(wi, h, alpha) / jnp.maximum(
-        4.0 * jnp.abs(jnp.sum(wo * h, axis=-1)), 1e-12
-    )
+    sels_f: list = []
+    sels_p: list = []
 
-    # Modified Phong (reference: bsdfs/phong.cpp).
-    refl = reflect(wi)
-    cos_a = jnp.maximum(jnp.sum(refl * wo, axis=-1), 0.0)
-    n_exp = params["exponent"]
-    spec_lobe = (n_exp + 2.0) * (0.5 * INV_PI) * jnp.power(cos_a, n_exp)
-    f_ph = (
-        params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
-        + params["specular"] * (spec_lobe * jnp.maximum(cos_o, 0.0))[..., None]
-    )
-    p_d, p_s = _phong_lobe_probs(params)
-    pdf_ph = p_d * pdf_diff + p_s * (n_exp + 1.0) * (0.5 * INV_PI) * jnp.power(
-        cos_a, n_exp
-    )
+    need_cosine = has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_ROUGHPLASTIC) or has(BSDF_PLASTIC)
+    if need_cosine:
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
 
-    # Rough plastic: dielectric-Fresnel GGX coat + corrected diffuse base
-    # (reference: bsdfs/roughplastic.cpp).
-    f_h, _, _, _ = fresnel_dielectric(jnp.sum(wi * h, axis=-1), params["eta"])
-    f_rp = (
-        params["specular"] * (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-12))[..., None]
-        + _plastic_diffuse(params, cos_i, cos_o)
-    )
-    p_spec_rp, _ = _plastic_probs(params, cos_i)
-    pdf_rp = p_spec_rp * pdf_rc + (1.0 - p_spec_rp) * pdf_diff
+    if has(BSDF_DIFFUSE):
+        # Diffuse (reference: bsdfs/diffuse.cpp).
+        f_diff = params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        sels_f.append((BSDF_DIFFUSE, f_diff))
+        sels_p.append((BSDF_DIFFUSE, pdf_diff))
 
-    # Smooth plastic: only the diffuse lobe is smooth
-    # (reference: bsdfs/plastic.cpp); the specular lobe is a delta.
-    f_pl = _plastic_diffuse(params, cos_i, cos_o)
-    p_spec_pl, _ = _plastic_probs(params, cos_i)
-    pdf_pl = (1.0 - p_spec_pl) * pdf_diff
+    need_ggx = has(BSDF_ROUGHCONDUCTOR) or has(BSDF_ROUGHPLASTIC)
+    if need_ggx:
+        h = normalize(wi + wo)
+        alpha = params["alpha"]
+        d = mf.ggx_ndf(h, alpha)
+        g = mf.smith_g1(wi, h, alpha) * mf.smith_g1(wo, h, alpha)
+        pdf_rc = mf.vndf_pdf(wi, h, alpha) / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo * h, axis=-1)), 1e-12
+        )
 
-    # Rough dielectric (two-sided, transmission).
-    f_rd, pdf_rd = _eval_pdf_roughdielectric(params, wi, wo)
+    if has(BSDF_ROUGHCONDUCTOR):
+        # Rough conductor, GGX + Smith (reference: bsdfs/roughconductor.cpp).
+        f_cond = fresnel_conductor(
+            jnp.sum(wi * h, axis=-1), params["eta"][..., None], params["k"]
+        )
+        f_rc = (params["specular"] * f_cond) * (
+            d * g / jnp.maximum(4.0 * cos_i, 1e-12)
+        )[..., None]
+        sels_f.append((BSDF_ROUGHCONDUCTOR, f_rc))
+        sels_p.append((BSDF_ROUGHCONDUCTOR, pdf_rc))
 
-    zero3 = jnp.zeros_like(f_diff)
-    f = jnp.where((t == BSDF_DIFFUSE)[..., None], f_diff, zero3)
-    f = jnp.where((t == BSDF_ROUGHCONDUCTOR)[..., None], f_rc, f)
-    f = jnp.where((t == BSDF_PHONG)[..., None], f_ph, f)
-    f = jnp.where((t == BSDF_ROUGHPLASTIC)[..., None], f_rp, f)
-    f = jnp.where((t == BSDF_PLASTIC)[..., None], f_pl, f)
-    pdf = jnp.where(t == BSDF_DIFFUSE, pdf_diff, 0.0)
-    pdf = jnp.where(t == BSDF_ROUGHCONDUCTOR, pdf_rc, pdf)
-    pdf = jnp.where(t == BSDF_PHONG, pdf_ph, pdf)
-    pdf = jnp.where(t == BSDF_ROUGHPLASTIC, pdf_rp, pdf)
-    pdf = jnp.where(t == BSDF_PLASTIC, pdf_pl, pdf)
+    if has(BSDF_PHONG):
+        # Modified Phong (reference: bsdfs/phong.cpp).
+        refl = reflect(wi)
+        cos_a = jnp.maximum(jnp.sum(refl * wo, axis=-1), 0.0)
+        n_exp = params["exponent"]
+        spec_lobe = (n_exp + 2.0) * (0.5 * INV_PI) * jnp.power(cos_a, n_exp)
+        f_ph = (
+            params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+            + params["specular"] * (spec_lobe * jnp.maximum(cos_o, 0.0))[..., None]
+        )
+        p_d, p_s = _phong_lobe_probs(params)
+        pdf_ph = p_d * pdf_diff + p_s * (n_exp + 1.0) * (0.5 * INV_PI) * jnp.power(
+            cos_a, n_exp
+        )
+        sels_f.append((BSDF_PHONG, f_ph))
+        sels_p.append((BSDF_PHONG, pdf_ph))
+
+    if has(BSDF_ROUGHPLASTIC):
+        # Rough plastic (reference: bsdfs/roughplastic.cpp).
+        f_h, _, _, _ = fresnel_dielectric(jnp.sum(wi * h, axis=-1), params["eta"])
+        f_rp = (
+            params["specular"]
+            * (f_h * d * g / jnp.maximum(4.0 * cos_i, 1e-12))[..., None]
+            + _plastic_diffuse(params, cos_i, cos_o)
+        )
+        p_spec_rp, _ = _plastic_probs(params, cos_i)
+        pdf_rp = p_spec_rp * pdf_rc + (1.0 - p_spec_rp) * pdf_diff
+        sels_f.append((BSDF_ROUGHPLASTIC, f_rp))
+        sels_p.append((BSDF_ROUGHPLASTIC, pdf_rp))
+
+    if has(BSDF_PLASTIC):
+        # Smooth plastic: only the diffuse lobe is smooth
+        # (reference: bsdfs/plastic.cpp); the specular lobe is a delta.
+        f_pl = _plastic_diffuse(params, cos_i, cos_o)
+        p_spec_pl, _ = _plastic_probs(params, cos_i)
+        pdf_pl = (1.0 - p_spec_pl) * pdf_diff
+        sels_f.append((BSDF_PLASTIC, f_pl))
+        sels_p.append((BSDF_PLASTIC, pdf_pl))
+
+    zero3 = jnp.zeros(wi.shape[:-1] + (3,))
+    zero1 = jnp.zeros(wi.shape[:-1])
+    f = zero3
+    pdf = zero1
+    for code, val in sels_f:
+        f = jnp.where((t == code)[..., None], val, f)
+    for code, val in sels_p:
+        pdf = jnp.where(t == code, val, pdf)
 
     f = jnp.where(front[..., None], f, 0.0)
     pdf = jnp.where(front, pdf, 0.0)
-    # Rough dielectric is two-sided (its own masking), applied after the
-    # front-hemisphere gate.
-    is_rd = t == BSDF_ROUGHDIELECTRIC
-    f = jnp.where(is_rd[..., None], f_rd, f)
-    pdf = jnp.where(is_rd, pdf_rd, pdf)
+
+    if has(BSDF_ROUGHDIELECTRIC):
+        # Rough dielectric is two-sided (its own masking), applied after the
+        # front-hemisphere gate.
+        f_rd, pdf_rd = _eval_pdf_roughdielectric(params, wi, wo)
+        is_rd = t == BSDF_ROUGHDIELECTRIC
+        f = jnp.where(is_rd[..., None], f_rd, f)
+        pdf = jnp.where(is_rd, pdf_rd, pdf)
     return f, pdf
 
 
-def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
+def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
+           types: tuple | None = None):
     """Sample an outgoing direction.
 
     Returns dict(wo, weight=f·cos/pdf, pdf, delta, eta). For delta lobes the
     pdf is the discrete branch probability and weight already folds it in.
+    ``types``: static tuple of BSDF codes present — see eval_pdf.
     """
     t = params["type"]
     cos_i = wi[..., 2]
 
-    # --- diffuse ---
-    wo_diff = warp.square_to_cosine_hemisphere(u2)
-    w_diff = params["albedo"]
-    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
+    def has(code):
+        return types is None or code in types
 
-    # --- smooth conductor ---
-    wo_cond = reflect(wi)
-    f_cond = fresnel_conductor(cos_i, params["eta"][..., None], params["k"])
-    w_cond = params["specular"] * f_cond
+    wo_sel: list = []
+    w_sel: list = []
+    pdf_sel: list = []
+    eta_sel: list = []
+    delta = jnp.zeros(cos_i.shape, dtype=bool)
 
-    # --- smooth dielectric ---
-    fr, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, params["eta"])
-    refl_choice = u1 < fr
-    wo_refl = reflect(wi)
-    # Refraction: Snell in local frame.
-    wo_refr = jnp.stack(
-        [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], axis=-1
+    need_cosine = (
+        has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_PLASTIC)
+        or has(BSDF_ROUGHPLASTIC)
     )
-    wo_diel = jnp.where(refl_choice[..., None], wo_refl, wo_refr)
-    # Radiance transport: scale transmitted radiance by eta_ti^2.
-    w_diel = jnp.where(
-        refl_choice[..., None],
-        params["specular"],
-        params["albedo"] * (eta_ti * eta_ti)[..., None],
-    )
-    eta_diel = jnp.where(refl_choice, 1.0, eta_it)
-    pdf_diel = jnp.where(refl_choice, fr, 1.0 - fr)
+    if need_cosine:
+        wo_diff = warp.square_to_cosine_hemisphere(u2)
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
 
-    # --- rough conductor (VNDF) ---
+    if has(BSDF_DIFFUSE):
+        wo_sel.append((BSDF_DIFFUSE, wo_diff))
+        w_sel.append((BSDF_DIFFUSE, params["albedo"]))
+        pdf_sel.append((BSDF_DIFFUSE, pdf_diff))
+
+    if has(BSDF_CONDUCTOR):
+        wo_cond = reflect(wi)
+        f_cond = fresnel_conductor(cos_i, params["eta"][..., None], params["k"])
+        wo_sel.append((BSDF_CONDUCTOR, wo_cond))
+        w_sel.append((BSDF_CONDUCTOR, params["specular"] * f_cond))
+        pdf_sel.append((BSDF_CONDUCTOR, jnp.ones_like(cos_i)))
+        delta = delta | (t == BSDF_CONDUCTOR)
+
+    if has(BSDF_DIELECTRIC):
+        fr, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, params["eta"])
+        refl_choice = u1 < fr
+        wo_refl = reflect(wi)
+        wo_refr = jnp.stack(
+            [-wi[..., 0] * eta_ti, -wi[..., 1] * eta_ti, cos_t], axis=-1
+        )
+        wo_diel = jnp.where(refl_choice[..., None], wo_refl, wo_refr)
+        # Radiance transport: scale transmitted radiance by eta_ti^2.
+        w_diel = jnp.where(
+            refl_choice[..., None],
+            params["specular"],
+            params["albedo"] * (eta_ti * eta_ti)[..., None],
+        )
+        wo_sel.append((BSDF_DIELECTRIC, wo_diel))
+        w_sel.append((BSDF_DIELECTRIC, w_diel))
+        pdf_sel.append((BSDF_DIELECTRIC, jnp.where(refl_choice, fr, 1.0 - fr)))
+        eta_sel.append((BSDF_DIELECTRIC, jnp.where(refl_choice, 1.0, eta_it)))
+        delta = delta | (t == BSDF_DIELECTRIC)
+
     alpha = params["alpha"]
-    m = mf.sample_vndf(wi, alpha, u2)
-    wo_rc = 2.0 * jnp.sum(wi * m, axis=-1, keepdims=True) * m - wi
-    f_m = fresnel_conductor(jnp.sum(wi * m, axis=-1), params["eta"][..., None], params["k"])
-    g1o = mf.smith_g1(wo_rc, m, alpha)
-    w_rc = params["specular"] * f_m * g1o[..., None]
-    pdf_rc = mf.vndf_pdf(wi, m, alpha) / jnp.maximum(
-        4.0 * jnp.abs(jnp.sum(wo_rc * m, axis=-1)), 1e-12
-    )
-    valid_rc = wo_rc[..., 2] > 1e-6
-    w_rc = jnp.where(valid_rc[..., None], w_rc, 0.0)
-    pdf_rc = jnp.where(valid_rc, pdf_rc, 0.0)
+    if has(BSDF_ROUGHCONDUCTOR):
+        m = mf.sample_vndf(wi, alpha, u2)
+        wo_rc = 2.0 * jnp.sum(wi * m, axis=-1, keepdims=True) * m - wi
+        f_m = fresnel_conductor(
+            jnp.sum(wi * m, axis=-1), params["eta"][..., None], params["k"]
+        )
+        g1o = mf.smith_g1(wo_rc, m, alpha)
+        w_rc = params["specular"] * f_m * g1o[..., None]
+        pdf_rc = mf.vndf_pdf(wi, m, alpha) / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo_rc * m, axis=-1)), 1e-12
+        )
+        valid_rc = wo_rc[..., 2] > 1e-6
+        w_rc = jnp.where(valid_rc[..., None], w_rc, 0.0)
+        pdf_rc = jnp.where(valid_rc, pdf_rc, 0.0)
+        wo_sel.append((BSDF_ROUGHCONDUCTOR, wo_rc))
+        w_sel.append((BSDF_ROUGHCONDUCTOR, w_rc))
+        pdf_sel.append((BSDF_ROUGHCONDUCTOR, pdf_rc))
 
-    # --- phong ---
-    p_d, p_s = _phong_lobe_probs(params)
-    pick_spec = u1 >= p_d
-    n_exp = params["exponent"]
-    # Power-cosine lobe around the reflection direction.
-    cos_alpha = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (n_exp + 1.0))
-    sin_alpha = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_alpha * cos_alpha))
-    phi = 2.0 * jnp.pi * u2[..., 1]
-    lobe_local = jnp.stack(
-        [sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi), cos_alpha], axis=-1
-    )
-    refl = reflect(wi)
-    # Frame around reflection dir.
-    from ..core.frame import coordinate_system, to_world
+    if has(BSDF_PHONG):
+        p_d, p_s = _phong_lobe_probs(params)
+        pick_spec = u1 >= p_d
+        n_exp = params["exponent"]
+        cos_alpha = jnp.power(jnp.maximum(u2[..., 0], 1e-12), 1.0 / (n_exp + 1.0))
+        sin_alpha = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_alpha * cos_alpha))
+        phi = 2.0 * jnp.pi * u2[..., 1]
+        lobe_local = jnp.stack(
+            [sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi), cos_alpha], axis=-1
+        )
+        refl = reflect(wi)
+        from ..core.frame import coordinate_system, to_world
 
-    s_ax, t_ax = coordinate_system(refl)
-    wo_spec = to_world(s_ax, t_ax, refl, lobe_local)
-    wo_ph = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
-    f_ph, pdf_ph = eval_pdf({**params, "type": jnp.full_like(t, BSDF_PHONG)}, wi, wo_ph)
-    w_ph = jnp.where(
-        (pdf_ph > 0.0)[..., None], f_ph / jnp.maximum(pdf_ph, 1e-20)[..., None], 0.0
-    )
+        s_ax, t_ax = coordinate_system(refl)
+        wo_spec = to_world(s_ax, t_ax, refl, lobe_local)
+        wo_ph = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+        f_ph, pdf_ph = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_PHONG)}, wi, wo_ph,
+            types=(BSDF_PHONG,),
+        )
+        w_ph = jnp.where(
+            (pdf_ph > 0.0)[..., None],
+            f_ph / jnp.maximum(pdf_ph, 1e-20)[..., None], 0.0,
+        )
+        wo_sel.append((BSDF_PHONG, wo_ph))
+        w_sel.append((BSDF_PHONG, w_ph))
+        pdf_sel.append((BSDF_PHONG, pdf_ph))
 
-    # --- rough dielectric (Walter + VNDF) ---
-    # Sample the VNDF in a frame where wi is above the surface; for inside
-    # rays (cos_i < 0) the physical facet is the central inversion of the
-    # sampled one, whose UPPER-oriented normal is again m_rd (GGX D and
-    # Smith G are inversion-symmetric). All signed cosines below are w.r.t.
-    # this upper-oriented normal, which is exactly the convention
-    # fresnel_dielectric and Walter eq. 40 expect.
-    cos_sign = jnp.sign(cos_i)
-    wi_u = wi * cos_sign[..., None]
-    m_rd = mf.sample_vndf(wi_u, alpha, u2)
-    idotm = jnp.sum(wi * m_rd, axis=-1)  # signed: negative when inside
-    f_m, cos_t_m, eta_it_rd, eta_ti_rd = fresnel_dielectric(idotm, params["eta"])
-    pick_refl_rd = u1 < f_m
-    wo_rd_refl = 2.0 * idotm[..., None] * m_rd - wi
-    # Refraction through m (Walter eq. 40).
-    wo_rd_refr = (
-        (eta_ti_rd * idotm - jnp.sign(idotm) * jnp.sqrt(
-            jnp.maximum(1.0 + eta_ti_rd * eta_ti_rd * (idotm * idotm - 1.0), 0.0)
-        ))[..., None] * m_rd
-        - eta_ti_rd[..., None] * wi
-    )
-    wo_rd = jnp.where(pick_refl_rd[..., None], wo_rd_refl, wo_rd_refr)
-    wo_rd = normalize(wo_rd)
-    wo_u_rd = wo_rd * jnp.sign(wo_rd[..., 2:3])
-    g1o_rd = mf.smith_g1(wo_u_rd, m_rd, alpha)
-    w_rd = jnp.where(
-        pick_refl_rd[..., None],
-        params["specular"] * g1o_rd[..., None],
-        params["albedo"] * (g1o_rd / (eta_it_rd * eta_it_rd))[..., None],
-    )
-    # Reject degenerate refraction (TIR handled by F=1 → always reflect).
-    good_side = jnp.where(
-        pick_refl_rd, wo_rd[..., 2] * cos_i > 0.0, wo_rd[..., 2] * cos_i < 0.0
-    )
-    w_rd = jnp.where(good_side[..., None], w_rd, 0.0)
-    _, pdf_rd_s = _eval_pdf_roughdielectric(params, wi, wo_rd)
-    eta_rd = jnp.where(pick_refl_rd, 1.0, eta_it_rd)
+    if has(BSDF_ROUGHDIELECTRIC):
+        # Walter + VNDF; see the eval for conventions. All signed cosines are
+        # w.r.t. the upper-oriented facet normal.
+        cos_sign = jnp.sign(cos_i)
+        wi_u = wi * cos_sign[..., None]
+        m_rd = mf.sample_vndf(wi_u, alpha, u2)
+        idotm = jnp.sum(wi * m_rd, axis=-1)  # signed: negative when inside
+        f_m, cos_t_m, eta_it_rd, eta_ti_rd = fresnel_dielectric(
+            idotm, params["eta"]
+        )
+        pick_refl_rd = u1 < f_m
+        wo_rd_refl = 2.0 * idotm[..., None] * m_rd - wi
+        wo_rd_refr = (
+            (eta_ti_rd * idotm - jnp.sign(idotm) * jnp.sqrt(
+                jnp.maximum(
+                    1.0 + eta_ti_rd * eta_ti_rd * (idotm * idotm - 1.0), 0.0
+                )
+            ))[..., None] * m_rd
+            - eta_ti_rd[..., None] * wi
+        )
+        wo_rd = jnp.where(pick_refl_rd[..., None], wo_rd_refl, wo_rd_refr)
+        wo_rd = normalize(wo_rd)
+        wo_u_rd = wo_rd * jnp.sign(wo_rd[..., 2:3])
+        g1o_rd = mf.smith_g1(wo_u_rd, m_rd, alpha)
+        w_rd = jnp.where(
+            pick_refl_rd[..., None],
+            params["specular"] * g1o_rd[..., None],
+            params["albedo"] * (g1o_rd / (eta_it_rd * eta_it_rd))[..., None],
+        )
+        good_side = jnp.where(
+            pick_refl_rd, wo_rd[..., 2] * cos_i > 0.0, wo_rd[..., 2] * cos_i < 0.0
+        )
+        w_rd = jnp.where(good_side[..., None], w_rd, 0.0)
+        _, pdf_rd_s = _eval_pdf_roughdielectric(params, wi, wo_rd)
+        wo_sel.append((BSDF_ROUGHDIELECTRIC, wo_rd))
+        w_sel.append((BSDF_ROUGHDIELECTRIC, w_rd))
+        pdf_sel.append((BSDF_ROUGHDIELECTRIC, pdf_rd_s))
+        eta_sel.append(
+            (BSDF_ROUGHDIELECTRIC, jnp.where(pick_refl_rd, 1.0, eta_it_rd))
+        )
 
-    # --- plastic (delta coat + diffuse base) ---
-    p_spec_pl, f_i_pl = _plastic_probs(params, cos_i)
-    pick_spec_pl = u1 < p_spec_pl
-    wo_pl = jnp.where(pick_spec_pl[..., None], reflect(wi), wo_diff)
-    w_pl_spec = params["specular"] * (f_i_pl / jnp.maximum(p_spec_pl, 1e-6))[..., None]
-    f_pl_d = _plastic_diffuse(params, cos_i, wo_pl[..., 2])
-    pdf_pl_d = (1.0 - p_spec_pl) * warp.square_to_cosine_hemisphere_pdf(wo_pl)
-    w_pl_diff = jnp.where(
-        (pdf_pl_d > 0.0)[..., None], f_pl_d / jnp.maximum(pdf_pl_d, 1e-20)[..., None], 0.0
-    )
-    w_pl = jnp.where(pick_spec_pl[..., None], w_pl_spec, w_pl_diff)
-    pdf_pl = jnp.where(pick_spec_pl, p_spec_pl, pdf_pl_d)
+    if has(BSDF_PLASTIC):
+        p_spec_pl, f_i_pl = _plastic_probs(params, cos_i)
+        pick_spec_pl = u1 < p_spec_pl
+        wo_pl = jnp.where(pick_spec_pl[..., None], reflect(wi), wo_diff)
+        w_pl_spec = params["specular"] * (
+            f_i_pl / jnp.maximum(p_spec_pl, 1e-6)
+        )[..., None]
+        f_pl_d = _plastic_diffuse(params, cos_i, wo_pl[..., 2])
+        pdf_pl_d = (1.0 - p_spec_pl) * warp.square_to_cosine_hemisphere_pdf(wo_pl)
+        w_pl_diff = jnp.where(
+            (pdf_pl_d > 0.0)[..., None],
+            f_pl_d / jnp.maximum(pdf_pl_d, 1e-20)[..., None], 0.0,
+        )
+        w_pl = jnp.where(pick_spec_pl[..., None], w_pl_spec, w_pl_diff)
+        wo_sel.append((BSDF_PLASTIC, wo_pl))
+        w_sel.append((BSDF_PLASTIC, w_pl))
+        pdf_sel.append((BSDF_PLASTIC, jnp.where(pick_spec_pl, p_spec_pl, pdf_pl_d)))
+        delta = delta | ((t == BSDF_PLASTIC) & pick_spec_pl)
 
-    # --- rough plastic (GGX coat + diffuse base, all smooth) ---
-    p_spec_rp, _ = _plastic_probs(params, cos_i)
-    pick_spec_rp = u1 < p_spec_rp
-    m_rp = mf.sample_vndf(wi, alpha, u2)
-    wo_rp_spec = 2.0 * jnp.sum(wi * m_rp, axis=-1, keepdims=True) * m_rp - wi
-    wo_rp = jnp.where(pick_spec_rp[..., None], wo_rp_spec, wo_diff)
-    f_rp_e, pdf_rp_e = eval_pdf(
-        {**params, "type": jnp.full_like(t, BSDF_ROUGHPLASTIC)}, wi, wo_rp
-    )
-    w_rp = jnp.where(
-        (pdf_rp_e > 0.0)[..., None],
-        f_rp_e / jnp.maximum(pdf_rp_e, 1e-20)[..., None],
-        0.0,
-    )
+    if has(BSDF_ROUGHPLASTIC):
+        p_spec_rp, _ = _plastic_probs(params, cos_i)
+        pick_spec_rp = u1 < p_spec_rp
+        m_rp = mf.sample_vndf(wi, alpha, u2)
+        wo_rp_spec = 2.0 * jnp.sum(wi * m_rp, axis=-1, keepdims=True) * m_rp - wi
+        wo_rp = jnp.where(pick_spec_rp[..., None], wo_rp_spec, wo_diff)
+        f_rp_e, pdf_rp_e = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_ROUGHPLASTIC)}, wi, wo_rp,
+            types=(BSDF_ROUGHPLASTIC,),
+        )
+        w_rp = jnp.where(
+            (pdf_rp_e > 0.0)[..., None],
+            f_rp_e / jnp.maximum(pdf_rp_e, 1e-20)[..., None], 0.0,
+        )
+        wo_sel.append((BSDF_ROUGHPLASTIC, wo_rp))
+        w_sel.append((BSDF_ROUGHPLASTIC, w_rp))
+        pdf_sel.append((BSDF_ROUGHPLASTIC, pdf_rp_e))
 
-    # --- select by type ---
-    def sel3(vals):
-        out = jnp.zeros_like(wo_diff)
-        for code, v in vals:
-            out = jnp.where((t == code)[..., None], v, out)
-        return out
-
-    def sel1(vals, default=0.0):
-        out = jnp.full_like(cos_i, default)
-        for code, v in vals:
-            out = jnp.where(t == code, v, out)
-        return out
-
-    wo = sel3([
-        (BSDF_DIFFUSE, wo_diff), (BSDF_CONDUCTOR, wo_cond),
-        (BSDF_DIELECTRIC, wo_diel), (BSDF_ROUGHCONDUCTOR, wo_rc),
-        (BSDF_PHONG, wo_ph), (BSDF_ROUGHDIELECTRIC, wo_rd),
-        (BSDF_PLASTIC, wo_pl), (BSDF_ROUGHPLASTIC, wo_rp),
-    ])
-    weight = sel3([
-        (BSDF_DIFFUSE, w_diff), (BSDF_CONDUCTOR, w_cond),
-        (BSDF_DIELECTRIC, w_diel), (BSDF_ROUGHCONDUCTOR, w_rc),
-        (BSDF_PHONG, w_ph), (BSDF_ROUGHDIELECTRIC, w_rd),
-        (BSDF_PLASTIC, w_pl), (BSDF_ROUGHPLASTIC, w_rp),
-    ])
-    pdf = sel1([
-        (BSDF_DIFFUSE, pdf_diff), (BSDF_CONDUCTOR, jnp.ones_like(cos_i)),
-        (BSDF_DIELECTRIC, pdf_diel), (BSDF_ROUGHCONDUCTOR, pdf_rc),
-        (BSDF_PHONG, pdf_ph), (BSDF_ROUGHDIELECTRIC, pdf_rd_s),
-        (BSDF_PLASTIC, pdf_pl), (BSDF_ROUGHPLASTIC, pdf_rp_e),
-    ])
-    delta = (
-        (t == BSDF_CONDUCTOR)
-        | (t == BSDF_DIELECTRIC)
-        | ((t == BSDF_PLASTIC) & pick_spec_pl)
-    )
-    eta = sel1(
-        [(BSDF_DIELECTRIC, eta_diel), (BSDF_ROUGHDIELECTRIC, eta_rd)], default=1.0
-    )
+    # --- combine by type mask ---
+    wo = jnp.zeros_like(wi).at[..., 2].set(1.0)
+    weight = jnp.zeros(wi.shape[:-1] + (3,))
+    pdf = jnp.zeros(wi.shape[:-1])
+    eta = jnp.ones(wi.shape[:-1])
+    for code, v in wo_sel:
+        wo = jnp.where((t == code)[..., None], v, wo)
+    for code, v in w_sel:
+        weight = jnp.where((t == code)[..., None], v, weight)
+    for code, v in pdf_sel:
+        pdf = jnp.where(t == code, v, pdf)
+    for code, v in eta_sel:
+        eta = jnp.where(t == code, v, eta)
 
     # Reflective models need wi on the front side.
     needs_front = (

@@ -42,7 +42,7 @@ def make_render_fn(scene, cfg, pixel_idx, param_name: str, spp: int = 4,
             ro, rd = generate_rays(s, jnp.stack([px, py], axis=-1), w, h, cfg.fov_axis)
             li = trace_wave(
                 s, kt, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-                nee=nee,
+                nee=nee, bsdf_types=cfg.bsdf_types or None,
             )
             acc = acc + li
         return acc / spp

@@ -133,6 +133,7 @@ class SDMMTrainer:
                 scene, gs, kt, ro, rd,
                 max_depth=rc.max_depth, rr_depth=rc.rr_depth,
                 bsdf_fraction=c.bsdf_fraction,
+                bsdf_types=rc.bsdf_types or None,
             )
             li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
             image, sqr, weight = film_mod.splat(image, sqr, weight, pixel_idx, li)

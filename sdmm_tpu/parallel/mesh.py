@@ -71,6 +71,7 @@ def build_train_step(scene, render_cfg, mesh: Mesh, trainer_cfg=None,
             scene, gs, kt, ro, rd,
             max_depth=render_cfg.max_depth, rr_depth=render_cfg.rr_depth,
             bsdf_fraction=tc.bsdf_fraction,
+            bsdf_types=render_cfg.bsdf_types or None,
         )
         li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
         image = jnp.zeros((n_pix, 3)).at[pixel_idx].add(li)
@@ -128,6 +129,7 @@ def build_render_step(scene, render_cfg, mesh: Mesh, axis_name: str = "rays"):
         li = trace_wave(
             scene, kt, ro, rd,
             max_depth=render_cfg.max_depth, rr_depth=render_cfg.rr_depth,
+            bsdf_types=render_cfg.bsdf_types or None,
         )
         li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
         image = jnp.zeros((n_pix, 3)).at[pixel_idx].add(li)

@@ -62,7 +62,7 @@ def _gather_prep(prep: mix.Prepared, leaf: jnp.ndarray) -> mix.Prepared:
     return jax.tree.map(lambda x: x[leaf], prep)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction", "bsdf_types"))
 def trace_wave_guided(
     scene,
     gs: GuideState,
@@ -72,6 +72,7 @@ def trace_wave_guided(
     max_depth: int = 10,
     rr_depth: int = 10,
     bsdf_fraction: float = 0.5,
+    bsdf_types: tuple | None = None,
 ):
     """Trace one guided wave.
 
@@ -138,7 +139,7 @@ def trace_wave_guided(
         # Branch A: BSDF importance sampling.
         u1 = jax.random.uniform(k_b1, (n,))
         u2 = jax.random.uniform(k_b2, (n, 2))
-        bs = bsdf_mod.sample(params, wi_local, u1, u2)
+        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
 
         # Branch B: mixture directional sampling (world space).
         d_guide, g_ok = mix.conditional_sample(cond, k_g)
@@ -156,7 +157,7 @@ def trace_wave_guided(
 
         # Combined pdf for non-delta samples: h·bsdfPdf + (1−h)·gmmPdf
         # (pdfSurface, sdmm_proc.cpp:587-589).
-        f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf(params, wi_local, wo_local)
+        f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf(params, wi_local, wo_local, types=bsdf_types)
         gmm_pdf = jnp.where(guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
         if prod is not None:
             prod_pdf = mix.conditional_pdf(prod, wo_world)

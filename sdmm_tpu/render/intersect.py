@@ -54,19 +54,47 @@ def _pick_chunk(n_tris: int, chunk: int) -> int:
 BRUTE_FORCE_MAX = 1024
 
 
+def _use_pallas() -> bool:
+    """Opt-in Pallas sweep (SDMM_TPU_PALLAS_ISECT=1), TPU backends only.
+
+    Standalone the Pallas kernel is ~1.4× the XLA sweep, but inside the
+    bounce scan the pad/transpose copies around pallas_call currently eat
+    the win (profiled 2026-08: 2.05 vs 2.30 Mrays/s end-to-end). Default
+    stays XLA until the kernel takes the scene in its native layout.
+    """
+    import os
+
+    import jax
+
+    if not os.environ.get("SDMM_TPU_PALLAS_ISECT"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
     """Closest hit. Returns dict with t, tri [int32, -1=miss], u, v, valid.
 
-    Small scenes use the dense chunked sweep; large scenes the threaded BVH
-    (render/bvh.py). Dispatch is static (triangle count is a trace-time
-    constant).
+    Small scenes use the Pallas VMEM-resident sweep (ops/intersect_pallas);
+    large scenes the threaded BVH (render/bvh.py). Dispatch is static
+    (triangle count is a trace-time constant). The XLA chunked sweep below
+    is kept as the CPU/interpret fallback and correctness oracle.
     """
     n_tris = scene.tri_v0.shape[0]
     if n_tris > BRUTE_FORCE_MAX:
         from . import bvh
 
         return bvh.traverse(scene, ro, rd, t_max, any_hit=False)
+    if _use_pallas():
+        from ..ops.intersect_pallas import mt_sweep
+
+        n_rays = ro.shape[0]
+        if t_max is None:
+            t_max = jnp.full((n_rays,), INF)
+        return mt_sweep(ro, rd, t_max, scene.tri_v0, scene.tri_e1, scene.tri_e2)
     n_rays = ro.shape[0]
     if t_max is None:
         t_max = jnp.full((n_rays,), INF)
@@ -119,6 +147,12 @@ def occluded(scene, ro, rd, t_max, chunk: int = 512):
         from . import bvh
 
         return bvh.traverse(scene, ro, rd, t_max, any_hit=True)
+    if _use_pallas():
+        from ..ops.intersect_pallas import mt_sweep
+
+        return mt_sweep(ro, rd, t_max, scene.tri_v0, scene.tri_e1, scene.tri_e2)[
+            "valid"
+        ]
     chunk = _pick_chunk(n_tris, chunk)
     pad = (-n_tris) % chunk
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))
@@ -151,10 +185,15 @@ def surface_interaction(scene, ro, rd, hit):
     t_safe = jnp.where(hit["valid"], hit["t"], 0.0)
     p = ro + t_safe[:, None] * rd
     ng = scene.tri_ng[tri]
-    ns_verts = scene.tri_ns[tri]  # [N, 3, 3]
+    # Flat [T, 9] gather avoids 3-D layout-conversion copies on TPU.
+    ns_flat = scene.tri_ns.reshape(-1, 9)[tri]  # [N, 9]
     u = hit["u"][:, None]
     v = hit["v"][:, None]
-    ns = ns_verts[:, 0] * (1.0 - u - v) + ns_verts[:, 1] * u + ns_verts[:, 2] * v
+    ns = (
+        ns_flat[:, 0:3] * (1.0 - u - v)
+        + ns_flat[:, 3:6] * u
+        + ns_flat[:, 6:9] * v
+    )
     ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-20)
     # Align shading normal hemisphere handling is done by BSDF frame logic.
     bsdf = scene.tri_bsdf[tri]

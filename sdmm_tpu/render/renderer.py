@@ -44,7 +44,8 @@ def render(
     weight = jnp.zeros((n_pix,))
     trace = trace_fn or (
         lambda scene, key, ro, rd: trace_wave(
-            scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee
+            scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            nee=nee, bsdf_types=cfg.bsdf_types or None,
         )
     )
 

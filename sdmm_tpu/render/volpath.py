@@ -54,7 +54,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types"))
 def trace_wave(
     scene,
     key,
@@ -64,6 +64,7 @@ def trace_wave(
     rr_depth: int = 10,
     nee: bool = True,
     count_vertices: bool = False,
+    bsdf_types: tuple | None = None,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
 
@@ -116,7 +117,7 @@ def trace_wave(
             u2 = jax.random.uniform(jax.random.fold_in(k_nee, 1), (n, 2))
             ls = emitters.sample_direct(scene, it["p"], u1, u2)
             wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
-            f, pdf_b = bsdf_mod.eval_pdf(params, wi_local, wo_l)
+            f, pdf_b = bsdf_mod.eval_pdf(params, wi_local, wo_l, types=bsdf_types)
             smooth = bsdf_mod.has_smooth(params)
             cand = active & ls["valid"] & smooth & (ls["pdf"] > 0.0)
             shadow_o = it["p"] + it["ng"] * jnp.where(
@@ -136,7 +137,7 @@ def trace_wave(
         # --- BSDF sampling ---
         u1 = jax.random.uniform(k_b1, (n,))
         u2 = jax.random.uniform(k_b2, (n, 2))
-        bs = bsdf_mod.sample(params, wi_local, u1, u2)
+        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
         wo_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
         # Strict normals on the outgoing side.
         wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)

@@ -99,6 +99,9 @@ class RenderConfig:
     nee: bool = True
     strict_normals: bool = True
     fov_axis: str = "x"
+    # Static tuple of BSDF type codes present in the scene; shaders compile
+    # only these models (wavefront specialization).
+    bsdf_types: tuple = ()
 
 
 @dataclass
@@ -277,5 +280,6 @@ class SceneBuilder:
         cfg = RenderConfig(
             width=self.width, height=self.height, max_depth=self.max_depth,
             rr_depth=self.rr_depth, fov_axis=self.fov_axis,
+            bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
         )
         return data, cfg
