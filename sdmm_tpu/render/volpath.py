@@ -54,7 +54,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium"))
 def trace_wave(
     scene,
     key,
@@ -65,6 +65,7 @@ def trace_wave(
     nee: bool = True,
     count_vertices: bool = False,
     bsdf_types: tuple | None = None,
+    has_medium: bool = False,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
 
@@ -83,6 +84,22 @@ def trace_wave(
         hit = isect.intersect(scene, ro, rd)
         it = isect.surface_interaction(scene, ro, rd, hit)
 
+        # --- Participating medium: free-flight sampling (reference:
+        # volpath.cpp medium sampling; render/medium.py). Compiled out when
+        # the scene has no medium. ---
+        if has_medium:
+            from . import medium as med
+
+            k, k_med = jax.random.split(k)
+            u_m = jax.random.uniform(k_med, (n,))
+            ms = med.sample_distance(scene, u_m, hit["t"])
+            scattered = active & ms["scattered"]
+            throughput = throughput * jnp.where(
+                active[..., None], ms["weight"], 1.0
+            )
+        else:
+            scattered = jnp.zeros(n, dtype=bool)
+
         # Emitted radiance on hit, MIS-weighted against NEE of the previous
         # vertex (depth 0 or delta bounce → weight 1).
         le = emitters.eval_emitter(scene, it, -rd)
@@ -91,14 +108,18 @@ def trace_wave(
             w_hit = jnp.where(prev_delta | (depth == 0), 1.0, mi_weight(prev_pdf, pdf_nee))
         else:
             w_hit = jnp.ones(n)
-        li = li + jnp.where(active[..., None], throughput * le * w_hit[..., None], 0.0)
+        li = li + jnp.where(
+            (active & ~scattered)[..., None], throughput * le * w_hit[..., None], 0.0
+        )
 
         # Environment on miss.
         li = li + jnp.where(
-            (active & ~hit["valid"])[..., None], throughput * scene.env_radiance, 0.0
+            (active & ~scattered & ~hit["valid"])[..., None],
+            throughput * scene.env_radiance, 0.0,
         )
 
-        active = active & hit["valid"]
+        on_surface = active & hit["valid"] & ~scattered
+        active = active & (hit["valid"] | scattered)
         n_shaded = jnp.sum(active.astype(jnp.int32))
 
         params = bsdf_mod.gather_params(scene, it["bsdf"])
@@ -107,7 +128,8 @@ def trace_wave(
 
         # Strict normals: kill paths where geometric/shading sides disagree.
         wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
-        active = active & ~((wi_dot_geo * wi_local[..., 2] < 0.0))
+        on_surface = on_surface & ~((wi_dot_geo * wi_local[..., 2] < 0.0))
+        active = on_surface | scattered
 
         k_nee, k_b1, k_b2, k_rr = jax.random.split(k, 4)
 
@@ -119,7 +141,7 @@ def trace_wave(
             wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
             f, pdf_b = bsdf_mod.eval_pdf(params, wi_local, wo_l, types=bsdf_types)
             smooth = bsdf_mod.has_smooth(params)
-            cand = active & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+            cand = on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
             shadow_o = it["p"] + it["ng"] * jnp.where(
                 jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
             )[..., None]
@@ -132,7 +154,36 @@ def trace_wave(
                 * ls["radiance"]
                 * (w / jnp.maximum(ls["pdf"], 1e-20))[..., None]
             )
+            if has_medium:
+                contrib = contrib * med.transmittance(scene, ls["dist"])
             li = li + jnp.where((cand & ~occ)[..., None], contrib, 0.0)
+
+        # --- Medium interaction: NEE + phase sampling ---
+        if has_medium:
+            p_med = ro + ms["t"][:, None] * rd
+            k, k_mn, k_mp = jax.random.split(k, 3)
+            if nee:
+                u1m = jax.random.uniform(k_mn, (n,))
+                u2m = jax.random.uniform(jax.random.fold_in(k_mn, 1), (n, 2))
+                lsm = emitters.sample_direct(scene, p_med, u1m, u2m)
+                cosm = jnp.sum(rd * lsm["d"], axis=-1)
+                f_ph = med.hg_pdf(scene.med_g, cosm)
+                occ_m = isect.occluded(
+                    scene, p_med, lsm["d"], lsm["dist"] * (1.0 - 1e-3)
+                )
+                w_m = jnp.where(
+                    lsm["delta"], 1.0, mi_weight(lsm["pdf"], f_ph)
+                )
+                contrib_m = (
+                    throughput
+                    * lsm["radiance"]
+                    * med.transmittance(scene, lsm["dist"])
+                    * (f_ph * w_m / jnp.maximum(lsm["pdf"], 1e-20))[..., None]
+                )
+                cand_m = scattered & lsm["valid"] & (lsm["pdf"] > 0.0)
+                li = li + jnp.where((cand_m & ~occ_m)[..., None], contrib_m, 0.0)
+            u_ph = jax.random.uniform(k_mp, (n, 2))
+            d_med, pdf_med_dir = med.hg_sample(scene.med_g, rd, u_ph)
 
         # --- BSDF sampling ---
         u1 = jax.random.uniform(k_b1, (n,))
@@ -144,9 +195,11 @@ def trace_wave(
         good = jnp.any(bs["weight"] > 0.0, axis=-1) & ~(
             (wo_dot_geo * bs["wo"][..., 2] <= 0.0)
         )
-        active = active & good
-        throughput = throughput * bs["weight"]
-        eta_sq = eta_sq * bs["eta"] * bs["eta"]
+        active = (on_surface & good) | scattered
+        throughput = throughput * jnp.where(
+            scattered[..., None], 1.0, bs["weight"]
+        )
+        eta_sq = eta_sq * jnp.where(scattered, 1.0, bs["eta"] * bs["eta"])
 
         # Russian roulette after rr_depth bounces (reference: sdmm_proc.cpp:858).
         q = jax.lax.stop_gradient(
@@ -162,8 +215,15 @@ def trace_wave(
 
         offset_sign = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
         ro_next = it["p"] + it["ng"] * offset_sign[..., None]
+        next_pdf = bs["pdf"]
+        next_delta = bs["delta"]
+        if has_medium:
+            ro_next = jnp.where(scattered[..., None], p_med, ro_next)
+            wo_world = jnp.where(scattered[..., None], d_med, wo_world)
+            next_pdf = jnp.where(scattered, pdf_med_dir, next_pdf)
+            next_delta = jnp.where(scattered, False, next_delta)
         return (
-            (ro_next, wo_world, throughput, eta_sq, active, li, bs["pdf"], bs["delta"]),
+            (ro_next, wo_world, throughput, eta_sq, active, li, next_pdf, next_delta),
             n_shaded if count_vertices else None,
         )
 

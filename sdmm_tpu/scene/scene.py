@@ -63,6 +63,11 @@ class SceneData(NamedTuple):
     em_tri_pdf: jnp.ndarray  # [M] discrete probability of each tri
     em_tri_area: jnp.ndarray  # [M]
     env_radiance: jnp.ndarray  # [3] constant environment (zeros = none)
+    # Global homogeneous medium (reference: src/medium/homogeneous.cpp;
+    # zeros = vacuum). Per-shape interior media are future work.
+    med_sigma_t: jnp.ndarray  # [3] extinction
+    med_albedo: jnp.ndarray  # [3] single-scattering albedo sigma_s/sigma_t
+    med_g: jnp.ndarray  # [] Henyey-Greenstein anisotropy
     # Point lights (delta emitters; reference: src/emitters/point.cpp).
     pt_pos: jnp.ndarray  # [P, 3]
     pt_intensity: jnp.ndarray  # [P, 3]
@@ -102,6 +107,7 @@ class RenderConfig:
     # Static tuple of BSDF type codes present in the scene; shaders compile
     # only these models (wavefront specialization).
     bsdf_types: tuple = ()
+    has_medium: bool = False  # compile-out flag for volumetric code
 
 
 @dataclass
@@ -112,6 +118,7 @@ class SceneBuilder:
     emitters: list[np.ndarray] = field(default_factory=list)
     point_lights: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
     env_radiance: np.ndarray | None = None
+    medium: dict | None = None  # {"sigma_t": [3], "albedo": [3], "g": float}
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     fov_deg: float = 45.0
     fov_axis: str = "x"
@@ -266,6 +273,11 @@ class SceneBuilder:
             ),
             pt_cdf=f32(self._pt_cdf()),
             pt_select_prob=f32(self._pt_select_prob(area_power_total)),
+            med_sigma_t=f32(
+                (self.medium or {}).get("sigma_t", np.zeros(3))
+            ),
+            med_albedo=f32((self.medium or {}).get("albedo", np.ones(3))),
+            med_g=f32((self.medium or {}).get("g", 0.0)),
             cam_to_world=f32(self.cam_to_world),
             cam_tan_half_fov=f32(np.tan(0.5 * fov)),
             aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),
@@ -281,5 +293,6 @@ class SceneBuilder:
             width=self.width, height=self.height, max_depth=self.max_depth,
             rr_depth=self.rr_depth, fov_axis=self.fov_axis,
             bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
+            has_medium=self.medium is not None,
         )
         return data, cfg

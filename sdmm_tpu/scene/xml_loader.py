@@ -189,6 +189,24 @@ class XMLLoader:
                 self.builder.rr_depth = int(p.get("rrDepth", self.builder.max_depth))
             elif tag == "sensor":
                 self._sensor(el)
+            elif tag == "medium":
+                # Scene-level homogeneous medium (reference:
+                # src/medium/homogeneous.cpp).
+                p = _props(el, self.variables)
+                if "sigmaT" in p:
+                    sigma_t = np.asarray(p["sigmaT"]).reshape(3)
+                    albedo = np.asarray(p.get("albedo", np.ones(3))).reshape(3)
+                else:
+                    sigma_s = np.asarray(p.get("sigmaS", np.zeros(3))).reshape(3)
+                    sigma_a = np.asarray(p.get("sigmaA", np.zeros(3))).reshape(3)
+                    sigma_t = sigma_s + sigma_a
+                    albedo = np.where(sigma_t > 0, sigma_s / np.maximum(sigma_t, 1e-20), 0.0)
+                g = 0.0
+                for sub in el:
+                    if sub.tag == "phase":
+                        pp = _props(sub, self.variables)
+                        g = float(pp.get("g", 0.0))
+                self.builder.medium = {"sigma_t": sigma_t, "albedo": albedo, "g": g}
             elif tag == "bsdf":
                 self._bsdf(el, top=True)
             elif tag == "shape":

@@ -1,0 +1,79 @@
+"""Volumetric medium tests: analytic transmittance + phase sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdmm_tpu.render import medium as med
+from sdmm_tpu.render.renderer import render
+from sdmm_tpu.scene.scene import BSDF_DIFFUSE, SceneBuilder
+from sdmm_tpu.scene import shapes as shp
+
+
+def emissive_wall_scene(sigma_t, albedo, g=0.0):
+    """Camera 2 units from an emissive wall, optionally foggy."""
+    b = SceneBuilder()
+    black = b.add_bsdf(BSDF_DIFFUSE, albedo=[0, 0, 0])
+    em = b.add_emitter([5.0, 5.0, 5.0])
+    m = np.eye(4)
+    m[:3, :3] = np.diag([4.0, 4.0, 1.0])
+    m[2, 3] = -2.0  # wall at z=-2, normal +z
+    b.add_shape(shp.make_rectangle(m), black, em)
+    cam = np.eye(4)
+    cam[2, 2] = -1.0
+    cam[0, 0] = -1.0  # look along -z from origin
+    b.set_sensor(cam, fov_deg=30.0, width=16, height=16)
+    b.max_depth = 4
+    b.rr_depth = 4
+    if sigma_t is not None:
+        b.medium = {"sigma_t": np.full(3, sigma_t), "albedo": np.full(3, albedo), "g": g}
+    return b.build()
+
+
+def test_pure_absorption_matches_beer_lambert():
+    scene0, cfg0 = emissive_wall_scene(None, 0.0)
+    clear = render(scene0, cfg0, spp=16, seed=0, rays_per_wave=256, nee=False)
+    scene1, cfg1 = emissive_wall_scene(0.7, 0.0)
+    assert cfg1.has_medium
+    foggy = render(scene1, cfg1, spp=256, seed=0, rays_per_wave=256, nee=False)
+    # Average the central region (all these rays hit the wall at distance
+    # ≈ 2/cos(θ), θ ≤ ~10°): pools ~25k samples against binomial noise.
+    c = np.asarray(clear["image"])[6:10, 6:10, 0].mean()
+    f = np.asarray(foggy["image"])[6:10, 6:10, 0].mean()
+    # Distance camera→wall ≈ 2 → T ≈ exp(-1.4).
+    expected = c * np.exp(-0.7 * 2.0)
+    assert abs(f - expected) / expected < 0.06, (f, expected, c)
+
+
+def test_scattering_medium_adds_inscatter():
+    """With albedo ~1, scattering redistributes but NEE captures light:
+    total image energy should exceed the pure-absorption case."""
+    scene_a, cfg_a = emissive_wall_scene(0.5, 0.0)
+    absorb = render(scene_a, cfg_a, spp=64, seed=1, rays_per_wave=256, nee=True)
+    scene_s, cfg_s = emissive_wall_scene(0.5, 0.95)
+    scatter = render(scene_s, cfg_s, spp=64, seed=1, rays_per_wave=256, nee=True)
+    ea = np.asarray(absorb["image"]).mean()
+    es = np.asarray(scatter["image"]).mean()
+    assert es > ea * 1.1, (ea, es)
+
+
+def test_hg_sampling_matches_pdf():
+    key = jax.random.PRNGKey(0)
+    n = 200_000
+    wd = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    u = jax.random.uniform(key, (n, 2))
+    for g in (0.0, 0.5, -0.3):
+        d, pdf = med.hg_sample(jnp.float32(g), wd, u)
+        cos = np.asarray(d[:, 2])
+        # Mean cosine of HG = g.
+        assert abs(cos.mean() - g) < 0.01, (g, cos.mean())
+        # pdf integrates to 1 (MC over sampled dirs: E[1/pdf]·pdf = 1 trivially;
+        # check against analytic at a few angles instead).
+        pdf_np = np.asarray(med.hg_pdf(jnp.float32(g), jnp.asarray(cos)))
+        np.testing.assert_allclose(np.asarray(pdf), pdf_np, rtol=1e-4)
+
+    # Numeric normalization of hg_pdf.
+    ct = np.linspace(-1, 1, 20001)
+    vals = np.asarray(med.hg_pdf(jnp.float32(0.5), jnp.asarray(ct, jnp.float32)))
+    integral = np.trapezoid(vals * 2 * np.pi, ct)
+    assert abs(integral - 1.0) < 1e-3, integral
