@@ -32,8 +32,17 @@ def build_bvh(verts: np.ndarray, leaf_size: int = LEAF_SIZE):
     verts: [T, 3, 3] triangle vertices. Returns dict of numpy arrays:
     lo/hi [M,3], leaf_start [M] (−1 internal), leaf_count [M], miss [M],
     perm [T'] (triangle permutation, padded to leaf multiples with -1).
+
+    Large meshes route through the native C++ builder when available
+    (sdmm_tpu/native.py); the numpy path below is the fallback + oracle.
     """
     t = len(verts)
+    if t > 20000:
+        from ..native import bvh_build_native
+
+        out = bvh_build_native(np.asarray(verts, np.float32), leaf_size)
+        if out is not None:
+            return out
     if t == 0:
         return {
             "lo": np.zeros((1, 3), np.float32),
