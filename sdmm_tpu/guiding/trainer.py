@@ -151,11 +151,20 @@ class SDMMTrainer:
 
     def optimize(self, sample_batches):
         """Tree refit + one EM step (reference ``optimize``)."""
+        from ..utils.stats import avg_path_length
+
         c = self.cfg
         pos = jnp.concatenate([s["pos"] for s in sample_batches])
         d = jnp.concatenate([s["dir"] for s in sample_batches])
         wgt = jnp.concatenate([s["weight"] for s in sample_batches])
         valid = jnp.concatenate([s["valid"] for s in sample_batches])
+        # Vertex count / path count ≈ mean path length (reference
+        # avgPathLength counter, sdmm_proc.cpp:40).
+        n_paths = max(
+            1, self.render_cfg.width * self.render_cfg.height
+            * self.cfg.samples_per_iteration
+        )
+        avg_path_length.add(float(valid.sum()), n_paths)
 
         # Leaf counts for split decisions (device → host).
         leaf = find_leaf(self.tables, pos)

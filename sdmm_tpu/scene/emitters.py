@@ -45,18 +45,30 @@ def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         pmf_pt = scene.pt_cdf[sel_pt] - jnp.where(
             sel_pt > 0, scene.pt_cdf[jnp.maximum(sel_pt - 1, 0)], 0.0
         )
+        kind = scene.pt_kind[sel_pt]
         to_l = scene.pt_pos[sel_pt] - p
         dist2 = jnp.sum(to_l * to_l, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
         d_pt = to_l / dist[..., None]
-        # Fold 1/r² falloff and selection pmfs into the radiance value.
-        rad_pt = scene.pt_intensity[sel_pt] / (
-            dist2 * pmf_pt * jnp.maximum(pt_prob, 1e-9)
+        # Directional lights: fixed direction toward the light, no falloff.
+        is_dir = kind == 2
+        d_pt = jnp.where(is_dir[..., None], scene.pt_pos[sel_pt], d_pt)
+        dist = jnp.where(is_dir, 1e7, dist)
+        inv_r2 = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist2, 1e-12))
+        # Spot falloff (reference: src/emitters/spot.cpp): 1 inside the
+        # beam, linear-in-cos rolloff to the cutoff.
+        cos_sp = -jnp.sum(scene.pt_dir[sel_pt] * d_pt, axis=-1)
+        co = scene.pt_cutoff_cos[sel_pt]
+        cb = scene.pt_beam_cos[sel_pt]
+        fall = jnp.clip((cos_sp - co) / jnp.maximum(cb - co, 1e-6), 0.0, 1.0)
+        fall = jnp.where(kind == 1, fall, 1.0)
+        rad_pt = scene.pt_intensity[sel_pt] * (
+            inv_r2 * fall / (pmf_pt * jnp.maximum(pt_prob, 1e-9))
         )[..., None]
         rec_pt = {
             "d": d_pt, "dist": dist, "pdf": jnp.ones(n_rays),
             "radiance": rad_pt, "n": -d_pt,
-            "valid": dist2 > 1e-12,
+            "valid": is_dir | (dist2 > 1e-12),
             "delta": jnp.ones(n_rays, dtype=bool),
         }
     else:

@@ -68,11 +68,17 @@ class SceneData(NamedTuple):
     med_sigma_t: jnp.ndarray  # [3] extinction
     med_albedo: jnp.ndarray  # [3] single-scattering albedo sigma_s/sigma_t
     med_g: jnp.ndarray  # [] Henyey-Greenstein anisotropy
-    # Point lights (delta emitters; reference: src/emitters/point.cpp).
+    # Delta lights: point / spot / directional (reference:
+    # src/emitters/{point,spot,directional}.cpp). kind: 0=point, 1=spot,
+    # 2=directional (pos holds the direction TOWARD the light).
     pt_pos: jnp.ndarray  # [P, 3]
-    pt_intensity: jnp.ndarray  # [P, 3]
+    pt_intensity: jnp.ndarray  # [P, 3] intensity (point/spot) or irradiance
+    pt_kind: jnp.ndarray  # [P] int32
+    pt_dir: jnp.ndarray  # [P, 3] spot axis
+    pt_cutoff_cos: jnp.ndarray  # [P]
+    pt_beam_cos: jnp.ndarray  # [P]
     pt_cdf: jnp.ndarray  # [P] selection CDF by power
-    # Fraction of NEE samples sent to point lights vs area lights.
+    # Fraction of NEE samples sent to delta lights vs area lights.
     pt_select_prob: jnp.ndarray  # []
     # Sensor.
     cam_to_world: jnp.ndarray  # [4, 4]
@@ -116,7 +122,7 @@ class SceneBuilder:
     bsdfs: list[dict] = field(default_factory=list)
     bsdf_ids: dict = field(default_factory=dict)
     emitters: list[np.ndarray] = field(default_factory=list)
-    point_lights: list[tuple[np.ndarray, np.ndarray]] = field(default_factory=list)
+    point_lights: list[dict] = field(default_factory=list)
     env_radiance: np.ndarray | None = None
     medium: dict | None = None  # {"sigma_t": [3], "albedo": [3], "g": float}
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
@@ -151,9 +157,30 @@ class SceneBuilder:
         return len(self.emitters) - 1
 
     def add_point_light(self, position, intensity):
-        self.point_lights.append(
-            (np.asarray(position, dtype=np.float64), np.asarray(intensity, dtype=np.float64))
-        )
+        self.point_lights.append({
+            "kind": 0, "pos": np.asarray(position, dtype=np.float64),
+            "intensity": np.asarray(intensity, dtype=np.float64),
+            "dir": np.array([0.0, 0.0, 1.0]), "cutoff": 180.0, "beam": 180.0,
+        })
+
+    def add_spot_light(self, position, direction, intensity,
+                       cutoff_deg=20.0, beam_deg=None):
+        d = np.asarray(direction, dtype=np.float64)
+        self.point_lights.append({
+            "kind": 1, "pos": np.asarray(position, dtype=np.float64),
+            "intensity": np.asarray(intensity, dtype=np.float64),
+            "dir": d / np.linalg.norm(d),
+            "cutoff": float(cutoff_deg),
+            "beam": float(beam_deg if beam_deg is not None else cutoff_deg * 0.75),
+        })
+
+    def add_directional_light(self, direction, irradiance):
+        d = np.asarray(direction, dtype=np.float64)
+        self.point_lights.append({
+            "kind": 2, "pos": -d / np.linalg.norm(d),  # toward the light
+            "intensity": np.asarray(irradiance, dtype=np.float64),
+            "dir": d / np.linalg.norm(d), "cutoff": 180.0, "beam": 180.0,
+        })
 
     def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1):
         self.soups.append((soup, bsdf, emitter))
@@ -169,16 +196,18 @@ class SceneBuilder:
     def _pt_cdf(self):
         if not self.point_lights:
             return np.zeros(0)
-        power = np.asarray([luminance(i) for _, i in self.point_lights])
+        power = np.asarray([luminance(l["intensity"]) for l in self.point_lights])
         power = np.maximum(power, 1e-20)
         return np.cumsum(power / power.sum())
 
     def _pt_select_prob(self, area_power: float):
-        """Probability of routing an NEE sample to the point-light set
+        """Probability of routing an NEE sample to the delta-light set
         (balanced by total emitter power)."""
         if not self.point_lights:
             return 0.0
-        pt_power = sum(4.0 * np.pi * luminance(i) for _, i in self.point_lights)
+        pt_power = sum(
+            4.0 * np.pi * luminance(l["intensity"]) for l in self.point_lights
+        )
         if area_power <= 0.0:
             return 1.0
         return float(pt_power / (pt_power + area_power))
@@ -267,10 +296,14 @@ class SceneBuilder:
             em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),
             em_tri_area=f32(areas),
             env_radiance=f32(self.env_radiance if self.env_radiance is not None else np.zeros(3)),
-            pt_pos=f32(np.asarray([p for p, _ in self.point_lights]).reshape(-1, 3)),
+            pt_pos=f32(np.asarray([l["pos"] for l in self.point_lights]).reshape(-1, 3)),
             pt_intensity=f32(
-                np.asarray([i for _, i in self.point_lights]).reshape(-1, 3)
+                np.asarray([l["intensity"] for l in self.point_lights]).reshape(-1, 3)
             ),
+            pt_kind=i32([l["kind"] for l in self.point_lights]),
+            pt_dir=f32(np.asarray([l["dir"] for l in self.point_lights]).reshape(-1, 3)),
+            pt_cutoff_cos=f32([np.cos(np.deg2rad(l["cutoff"])) for l in self.point_lights]),
+            pt_beam_cos=f32([np.cos(np.deg2rad(l["beam"])) for l in self.point_lights]),
             pt_cdf=f32(self._pt_cdf()),
             pt_select_prob=f32(self._pt_select_prob(area_power_total)),
             med_sigma_t=f32(

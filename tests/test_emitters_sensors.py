@@ -97,3 +97,70 @@ def test_sensor_variants_produce_rays():
         np.testing.assert_allclose(
             np.asarray(jnp.linalg.norm(rd, axis=-1)), 1.0, atol=1e-5
         )
+
+
+def test_spot_light_cone():
+    """Spot light illuminates only inside its cone."""
+    import numpy as _np
+    from sdmm_tpu.scene.scene import SceneBuilder as SB, BSDF_DIFFUSE as DIFF
+    from sdmm_tpu.scene import shapes as _shp
+
+    b = SB()
+    white = b.add_bsdf(DIFF, albedo=[0.8, 0.8, 0.8])
+    m = _np.eye(4)
+    a = _np.deg2rad(-90)
+    m[1:3, 1:3] = [[_np.cos(a), -_np.sin(a)], [_np.sin(a), _np.cos(a)]]
+    m[:3, :3] = m[:3, :3] @ _np.diag([3.0, 3.0, 1.0])
+    b.add_shape(_shp.make_rectangle(m), white)  # floor y=0
+    # Narrow spot pointing straight down from y=2.
+    b.add_spot_light([0.0, 2.0, 0.0], [0.0, -1.0, 0.0], [8.0, 8.0, 8.0],
+                     cutoff_deg=15.0, beam_deg=10.0)
+    cam = _np.eye(4)
+    cam[:3, 3] = [0.0, 1.5, 3.5]
+    cam[0, 0] = -1.0
+    cam[2, 2] = -1.0
+    b.set_sensor(cam, fov_deg=50.0, width=32, height=32)
+    b.max_depth = 2
+    b.rr_depth = 2
+    scene, cfg = b.build()
+    out = render(scene, cfg, spp=32, seed=2, rays_per_wave=1024, nee=True)
+    img = np.asarray(out["image"])
+    assert np.isfinite(img).all()
+    # Bright disk under the light; dark floor far from the axis.
+    bright = img[img[..., 0] > 0.05]
+    assert len(bright) > 5  # spot creates a lit region
+    # Cone radius at floor = 2·tan(15°) ≈ 0.54 — most of the 3-unit floor
+    # stays dark: lit fraction well below half.
+    lit_frac = (img[..., 0] > 0.05).mean()
+    assert lit_frac < 0.4, lit_frac
+
+
+def test_directional_light():
+    import numpy as _np
+    from sdmm_tpu.scene.scene import SceneBuilder as SB, BSDF_DIFFUSE as DIFF
+    from sdmm_tpu.scene import shapes as _shp
+
+    b = SB()
+    white = b.add_bsdf(DIFF, albedo=[0.6, 0.6, 0.6])
+    m = _np.eye(4)
+    a = _np.deg2rad(-90)
+    m[1:3, 1:3] = [[_np.cos(a), -_np.sin(a)], [_np.sin(a), _np.cos(a)]]
+    m[:3, :3] = m[:3, :3] @ _np.diag([2.0, 2.0, 1.0])
+    b.add_shape(_shp.make_rectangle(m), white)
+    b.add_directional_light([0.0, -1.0, 0.0], [2.0, 2.0, 2.0])  # straight down
+    cam = _np.eye(4)
+    cam[:3, 3] = [0.0, 1.0, 3.0]
+    cam[0, 0] = -1.0
+    cam[2, 2] = -1.0
+    b.set_sensor(cam, fov_deg=45.0, width=16, height=16)
+    b.max_depth = 2
+    b.rr_depth = 2
+    scene, cfg = b.build()
+    out = render(scene, cfg, spp=64, seed=3, rays_per_wave=256, nee=True)
+    img = np.asarray(out["image"])
+    # Direct value: albedo/pi · E · cos(0) = 0.6/pi·2 ≈ 0.382.
+    expected = 0.6 / np.pi * 2.0
+    floor = img[img[..., 0] > 0.01][..., 0]
+    assert len(floor) > 20
+    assert abs(np.median(floor) - expected) / expected < 0.15, (
+        np.median(floor), expected)
