@@ -55,17 +55,56 @@ def _fresnel_diffuse_reflectance(eta):
     )
 
 
-def gather_params(scene, bsdf_idx: jnp.ndarray) -> dict:
-    """Gather per-ray BSDF parameters from the scene table."""
+def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None) -> dict:
+    """Gather per-ray BSDF parameters from the scene table.
+
+    When ``uv`` is given and the BSDF carries a texture id, the albedo is
+    replaced by a bilinear texture lookup (reference: bitmap texture
+    plugin, mitsuba/src/textures/bitmap.cpp).
+    """
+    albedo = scene.bsdf_albedo[bsdf_idx]
+    if uv is not None and scene.textures.shape[1] > 1:
+        tex_id = scene.bsdf_tex[bsdf_idx]
+        albedo = jnp.where(
+            (tex_id >= 0)[..., None],
+            sample_texture(scene.textures, jnp.maximum(tex_id, 0), uv),
+            albedo,
+        )
     return {
         "type": scene.bsdf_type[bsdf_idx],
-        "albedo": scene.bsdf_albedo[bsdf_idx],
+        "albedo": albedo,
         "specular": scene.bsdf_specular[bsdf_idx],
         "alpha": scene.bsdf_alpha[bsdf_idx],
         "eta": scene.bsdf_eta[bsdf_idx],
         "k": scene.bsdf_k[bsdf_idx],
         "exponent": scene.bsdf_exponent[bsdf_idx],
     }
+
+
+def sample_texture(textures: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray):
+    """Bilinear sample from the [NT, R, R, 3] texture stack (uv wraps)."""
+    r = textures.shape[1]
+    u = (uv[..., 0] % 1.0) * r - 0.5
+    # Mitsuba's v axis points up; image rows go down.
+    v = ((1.0 - uv[..., 1]) % 1.0) * r - 0.5
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
+    x1i = jnp.clip(x0i + 1, 0, r - 1)
+    y1i = jnp.clip(y0i + 1, 0, r - 1)
+    c00 = textures[tex_id, y0i, x0i]
+    c01 = textures[tex_id, y0i, x1i]
+    c10 = textures[tex_id, y1i, x0i]
+    c11 = textures[tex_id, y1i, x1i]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
 
 
 def is_delta_only(params: dict) -> jnp.ndarray:

@@ -1,0 +1,332 @@
+"""Practical Path Guiding (Müller et al. 2017) — comparison integrator.
+
+TPU-native re-design of the reference's ``guided_path`` plugin
+(reference: mitsuba/src/integrators/path/guided_path.cpp — QuadTreeNode
+:162, DTree :378, STree :852, iterative budget doubling, learned
+bsdfSamplingFraction :1030-1076). Departures for the TPU:
+
+- The adaptive per-leaf directional *quadtree* becomes a dense
+  [leaves, RES, RES] histogram over the same cylindrical (cosθ, φ) square
+  mapping (guided_path.cpp canonicalToDir) — constant-shape arrays whose
+  sampling is a flattened-CDF draw and whose training is one scatter-add;
+  the quadtree's adaptivity is traded for a resolution high enough to
+  match its leaf granularity (16² = 256 cells ≈ a depth-4 quadtree).
+- The spatial binary tree, train-then-render iteration structure, and
+  one-sample BSDF/guide MIS match the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bsdf as bsdf_mod
+from ..core.frame import to_local, to_world
+from ..render import film as film_mod
+from ..render.intersect import intersect, surface_interaction
+from ..render.volpath import shading_frame
+from ..scene import emitters
+from ..scene.sensor import generate_rays
+from .stree import STree, find_leaf
+
+RES = 16
+FOUR_PI = 4.0 * jnp.pi
+PDF_CLAMP = 0.1
+
+
+def dir_to_cell(d: jnp.ndarray) -> jnp.ndarray:
+    """Direction → cell index in the (cosθ, φ) square (reference
+    dirToCanonical, guided_path.cpp:197-261)."""
+    ct = jnp.clip((d[..., 2] + 1.0) * 0.5, 0.0, 1.0 - 1e-7)
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    u = (phi / (2.0 * jnp.pi)) % 1.0
+    xi = jnp.clip((u * RES).astype(jnp.int32), 0, RES - 1)
+    yi = jnp.clip((ct * RES).astype(jnp.int32), 0, RES - 1)
+    return yi * RES + xi
+
+
+def cell_to_dir(cell: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
+    """Cell + in-cell jitter → direction (uniform within the cell in the
+    cylindrical measure → exactly invertible pdf)."""
+    yi = (cell // RES).astype(jnp.float32)
+    xi = (cell % RES).astype(jnp.float32)
+    ct = ((yi + jitter[..., 0]) / RES) * 2.0 - 1.0
+    phi = ((xi + jitter[..., 1]) / RES) * 2.0 * jnp.pi
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+def histogram_pdf(hist_g: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of directions under gathered histograms [N, RES²]."""
+    cell = dir_to_cell(d)
+    total = jnp.sum(hist_g, axis=-1)
+    mass = jnp.take_along_axis(hist_g, cell[..., None], axis=-1)[..., 0]
+    frac = jnp.where(total > 0, mass / jnp.maximum(total, 1e-20), 0.0)
+    # Cylindrical-equal-area cells: each covers 4π/RES² of solid angle.
+    return frac * (RES * RES) / FOUR_PI
+
+
+def histogram_sample(hist_g: jnp.ndarray, key) -> jnp.ndarray:
+    cdf = jnp.cumsum(hist_g, axis=-1)
+    total = cdf[..., -1:]
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, hist_g.shape[:-1] + (1,)) * total
+    cell = jnp.sum((u > cdf).astype(jnp.int32), axis=-1)
+    cell = jnp.clip(cell, 0, RES * RES - 1)
+    jitter = jax.random.uniform(k2, hist_g.shape[:-1] + (2,))
+    return cell_to_dir(cell, jitter)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction", "bsdf_types"))
+def trace_wave_ppg(
+    scene, hist, initialized, tables, aabb_lo, inv_norm, key, ro, rd,
+    max_depth: int = 10, rr_depth: int = 10, bsdf_fraction: float = 0.5,
+    bsdf_types: tuple | None = None,
+):
+    """PPG-guided wave; returns (li [N,3], samples for training)."""
+    n = ro.shape[0]
+
+    def body(carry, inp):
+        (ro, rd, throughput, eta_sq, active, li) = carry
+        depth, k = inp
+        hit = intersect(scene, ro, rd)
+        it = surface_interaction(scene, ro, rd, hit)
+        le = emitters.eval_emitter(scene, it, -rd)
+        li = li + jnp.where(active[..., None], throughput * le, 0.0)
+        le_out = jnp.where(active[..., None], le, 0.0)
+        li = li + jnp.where(
+            (active & ~hit["valid"])[..., None], throughput * scene.env_radiance, 0.0
+        )
+        active = active & hit["valid"]
+
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
+        s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
+        wi_local = to_local(s_ax, t_ax, n_ax, -rd)
+        wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
+        active = active & ~(wi_dot_geo * wi_local[..., 2] < 0.0)
+
+        c_pos = (it["p"] - aabb_lo) * inv_norm
+        leaf = find_leaf(tables, c_pos)
+        hist_g = hist[leaf]
+        delta_only = bsdf_mod.is_delta_only(params)
+        guide_ok = initialized[leaf] & ~delta_only & (jnp.sum(hist_g, -1) > 0)
+        h = jnp.where(guide_ok, bsdf_fraction, 1.0)
+
+        k_sel, k_b1, k_b2, k_g, k_rr = jax.random.split(k, 5)
+        take_bsdf = (jax.random.uniform(k_sel, (n,)) < h) | ~guide_ok
+        u1 = jax.random.uniform(k_b1, (n,))
+        u2 = jax.random.uniform(k_b2, (n, 2))
+        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
+        d_guide = histogram_sample(hist_g, k_g)
+        wo_world = jnp.where(
+            take_bsdf[..., None], to_world(s_ax, t_ax, n_ax, bs["wo"]), d_guide
+        )
+        wo_local = jnp.where(
+            take_bsdf[..., None], bs["wo"], to_local(s_ax, t_ax, n_ax, d_guide)
+        )
+        sampled_delta = take_bsdf & bs["delta"]
+
+        f_eval, bsdf_pdf = bsdf_mod.eval_pdf(params, wi_local, wo_local, types=bsdf_types)
+        g_pdf = jnp.where(guide_ok, histogram_pdf(hist_g, wo_world), 0.0)
+        mis_pdf = h * bsdf_pdf + (1.0 - h) * g_pdf
+        w_smooth = f_eval / jnp.maximum(mis_pdf, 1e-20)[..., None]
+        w_delta = bs["weight"] / jnp.maximum(h, 1e-6)[..., None]
+        bweight = jnp.where(sampled_delta[..., None], w_delta, w_smooth)
+        ok = jnp.where(
+            sampled_delta,
+            jnp.any(bs["weight"] > 0, axis=-1),
+            (mis_pdf > 0) & jnp.any(f_eval > 0, axis=-1),
+        )
+        wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)
+        ok = ok & ~(wo_dot_geo * wo_local[..., 2] <= 0.0)
+        active_next = active & ok
+        clamped = jnp.maximum(mis_pdf, PDF_CLAMP)
+        cacheable = active_next & ~sampled_delta
+
+        throughput = throughput * jnp.where(active_next[..., None], bweight, 0.0)
+        eta_sq = eta_sq * jnp.where(active_next, bs["eta"] ** 2, 1.0)
+        q = jax.lax.stop_gradient(jnp.minimum(jnp.max(throughput, -1) * eta_sq, 0.95))
+        do_rr = depth + 1 >= rr_depth
+        kill = do_rr & (jax.random.uniform(k_rr, (n,)) >= q)
+        active_next = active_next & ~kill
+        throughput = jnp.where(
+            (do_rr & active_next)[..., None],
+            throughput / jnp.maximum(q, 1e-6)[..., None], throughput,
+        )
+        ro_next = it["p"] + it["ng"] * jnp.where(wo_dot_geo > 0, 1e-4, -1e-4)[..., None]
+        outs = {
+            "le": le_out,
+            "bweight": jnp.where(active_next[..., None], bweight, 0.0),
+            "pdf": clamped,
+            "cacheable": cacheable,
+            "leaf": leaf,
+            "cell": dir_to_cell(wo_world),
+        }
+        return (ro_next, wo_world, throughput, eta_sq, active_next, li), outs
+
+    keys = jax.random.split(key, max_depth + 1)
+    init = (ro, rd, jnp.ones((n, 3)), jnp.ones(n), jnp.ones(n, bool), jnp.zeros((n, 3)))
+    carry, outs = jax.lax.scan(
+        body, init, (jnp.arange(max_depth + 1, dtype=jnp.int32), keys)
+    )
+    li = carry[5]
+
+    def back(acc, xs):
+        le_next, w_next = xs
+        inc = le_next + w_next * acc
+        return inc, inc
+
+    _, incident = jax.lax.scan(
+        back, jnp.zeros((n, 3)), (outs["le"][1:][::-1], outs["bweight"][1:][::-1])
+    )
+    incident = incident[::-1]
+    weight = jnp.mean(incident, -1) / outs["pdf"][:max_depth]
+    valid = outs["cacheable"][:max_depth] & jnp.isfinite(weight)
+    samples = {
+        "leaf": outs["leaf"][:max_depth].reshape(-1),
+        "cell": outs["cell"][:max_depth].reshape(-1),
+        "weight": jnp.where(valid, weight, 0.0).reshape(-1),
+        "valid": valid.reshape(-1),
+    }
+    return li, samples
+
+
+@dataclass
+class PPGConfig:
+    max_leaves: int = 2048
+    split_threshold: int = 4000
+    bsdf_fraction: float = 0.5
+    rays_per_wave: int = 1 << 16
+    seed: int = 1234
+
+
+class PPGTrainer:
+    """Iterative budget-doubling training loop
+    (reference: guided_path.cpp renderPass/resetSDTree iteration scheme)."""
+
+    def __init__(self, scene, render_cfg, cfg: PPGConfig | None = None):
+        self.scene = scene
+        self.render_cfg = render_cfg
+        self.cfg = cfg or PPGConfig()
+        lo = np.asarray(scene.aabb_lo)
+        hi = np.asarray(scene.aabb_hi)
+        ext = hi - lo
+        self.spatial_norm = float(ext.max())
+        eps = 1e-5
+        self.tree = STree(
+            -eps * np.ones(3), ext / self.spatial_norm + eps,
+            max_leaves=self.cfg.max_leaves,
+            split_threshold=self.cfg.split_threshold,
+        )
+        self.tree.split_to_depth(2)
+        self.tables = self.tree.device_tables()
+        self.hist = jnp.zeros((self.cfg.max_leaves, RES * RES))
+        self.initialized = jnp.zeros((self.cfg.max_leaves,), dtype=bool)
+        self.iteration = 0
+        self.stats: list[dict] = []
+
+    def run(self, total_spp: int, verbose: bool = False):
+        """Budget-doubling iterations: 1, 2, 4, ... spp; the final (largest)
+        iteration renders with the best-trained tree."""
+        rc, c = self.render_cfg, self.cfg
+        w, h = rc.width, rc.height
+        n_pix = w * h
+        wave = min(c.rays_per_wave, n_pix)
+        n_waves = (n_pix + wave - 1) // wave
+        pix_all = np.arange(n_waves * wave, dtype=np.int32) % n_pix
+        iters = []
+        spp_this = 1
+        spp_done = 0
+        while spp_done < total_spp:
+            spp_this = min(spp_this, total_spp - spp_done)
+            image = jnp.zeros((n_pix, 3))
+            sqr = jnp.zeros((n_pix, 3))
+            weight = jnp.zeros((n_pix,))
+            add_w = jnp.zeros_like(self.hist)
+            counts = np.zeros(c.max_leaves)
+            t0 = time.time()
+            for s in range(spp_this):
+                for wv in range(n_waves):
+                    kk = jax.random.fold_in(
+                        jax.random.fold_in(
+                            jax.random.fold_in(jax.random.PRNGKey(c.seed), self.iteration), s
+                        ), wv,
+                    )
+                    idx = jnp.asarray(pix_all[wv * wave : (wv + 1) * wave])
+                    kj, kt = jax.random.split(kk)
+                    u = jax.random.uniform(kj, (idx.shape[0], 2))
+                    px = (idx % w).astype(jnp.float32) + u[:, 0]
+                    py = (idx // w).astype(jnp.float32) + u[:, 1]
+                    ro, rd = generate_rays(
+                        self.scene, jnp.stack([px, py], -1), w, h, rc.fov_axis
+                    )
+                    li, samples = trace_wave_ppg(
+                        self.scene, self.hist, self.initialized, self.tables,
+                        self.scene.aabb_lo, jnp.float32(1.0 / self.spatial_norm),
+                        kt, ro, rd,
+                        max_depth=rc.max_depth, rr_depth=rc.rr_depth,
+                        bsdf_fraction=c.bsdf_fraction,
+                        bsdf_types=rc.bsdf_types or None,
+                    )
+                    li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+                    image, sqr, weight = film_mod.splat(image, sqr, weight, idx, li)
+                    flat = samples["leaf"] * (RES * RES) + samples["cell"]
+                    add_w = add_w.reshape(-1).at[flat].add(samples["weight"]).reshape(
+                        add_w.shape
+                    )
+                    counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[
+                        samples["leaf"]
+                    ].add(samples["valid"].astype(jnp.int32))
+                    counts[: c.max_leaves] += np.asarray(counts_dev)
+            # Train: REPLACE histograms with this iteration's radiance
+            # estimates (the reference resets the DTree each iteration).
+            trained = jnp.asarray(counts) >= 64
+            self.hist = jnp.where(trained[:, None], add_w, self.hist)
+            self.initialized = self.initialized | trained
+            copies = self.tree.refit(counts)
+            if copies:
+                self.tables = self.tree.device_tables()
+                dst = jnp.asarray([d for d, _ in copies], jnp.int32)
+                src = jnp.asarray([s for _, s in copies], jnp.int32)
+                self.hist = self.hist.at[dst].set(self.hist[src] * 0.5)
+                self.hist = self.hist.at[src].multiply(0.5)
+                self.initialized = self.initialized.at[dst].set(self.initialized[src])
+            iters.append({
+                "image": np.asarray(image), "sqr": np.asarray(sqr),
+                "weight": np.asarray(weight), "spp": spp_this,
+            })
+            self.stats.append({
+                "iteration": self.iteration, "spp": spp_this,
+                "seconds": time.time() - t0,
+                "leaf_nodes_count": self.tree.n_leaves,
+                "active": int(jnp.sum(self.initialized)),
+            })
+            if verbose:
+                print(self.stats[-1])
+            spp_done += spp_this
+            spp_this *= 2
+            self.iteration += 1
+        # Inverse-variance combination over iterations. Variance of the
+        # mean needs ≥2 samples; 1-spp iterations get a tiny fixed weight
+        # so they cannot dominate (reference combines via
+        # combine_renders.py with the same issue handled by sample counts).
+        num = np.zeros((n_pix, 3))
+        den = np.zeros((n_pix, 3))
+        for it in iters:
+            nw = np.maximum(it["weight"], 1.0)[:, None]
+            mean = it["image"] / nw
+            if it["spp"] < 2:
+                iv = 1e-6
+            else:
+                var = np.maximum(it["sqr"] / nw - mean * mean, 0) / np.maximum(
+                    nw - 1, 1
+                )
+                iv = 1.0 / max(var.mean(), 1e-12)
+            num += iv * mean
+            den += iv
+        return (num / np.maximum(den, 1e-12)).reshape(h, w, 3), iters

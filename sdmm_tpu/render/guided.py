@@ -97,7 +97,7 @@ def trace_wave_guided(
         )
         active = active & hit["valid"]
 
-        params = bsdf_mod.gather_params(scene, it["bsdf"])
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
         wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)

@@ -195,6 +195,12 @@ def surface_interaction(scene, ro, rd, hit):
         + ns_flat[:, 6:9] * v
     )
     ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-20)
+    uv_flat = scene.tri_uv.reshape(-1, 6)[tri]  # [N, 6]
+    uv = (
+        uv_flat[:, 0:2] * (1.0 - u - v)
+        + uv_flat[:, 2:4] * u
+        + uv_flat[:, 4:6] * v
+    )
     # Align shading normal hemisphere handling is done by BSDF frame logic.
     bsdf = scene.tri_bsdf[tri]
     emitter = scene.tri_emitter[tri]
@@ -202,6 +208,7 @@ def surface_interaction(scene, ro, rd, hit):
         "p": p,
         "ng": ng,
         "ns": ns,
+        "uv": uv,
         "bsdf": bsdf,
         "emitter": jnp.where(hit["valid"], emitter, -1),
         "valid": hit["valid"],

@@ -122,7 +122,7 @@ def trace_wave(
         active = active & (hit["valid"] | scattered)
         n_shaded = jnp.sum(active.astype(jnp.int32))
 
-        params = bsdf_mod.gather_params(scene, it["bsdf"])
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
 

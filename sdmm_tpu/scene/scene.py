@@ -46,6 +46,7 @@ class SceneData(NamedTuple):
     tri_e2: jnp.ndarray  # [T, 3]
     tri_ng: jnp.ndarray  # [T, 3] geometric normal
     tri_ns: jnp.ndarray  # [T, 3, 3] per-vertex shading normals
+    tri_uv: jnp.ndarray  # [T, 3, 2] texture coordinates
     tri_bsdf: jnp.ndarray  # [T] int32
     tri_emitter: jnp.ndarray  # [T] int32, -1 if not emissive
     # BSDF table.
@@ -56,6 +57,8 @@ class SceneData(NamedTuple):
     bsdf_eta: jnp.ndarray  # [B] rel. IOR (int/ext)
     bsdf_k: jnp.ndarray  # [B, 3] conductor absorption
     bsdf_exponent: jnp.ndarray  # [B] phong exponent
+    bsdf_tex: jnp.ndarray  # [B] int32 texture id for albedo (-1 = none)
+    textures: jnp.ndarray  # [NT, R, R, 3] resampled texture stack
     # Emitters.
     emitter_radiance: jnp.ndarray  # [E, 3]
     em_tri_idx: jnp.ndarray  # [M] triangle ids of emissive tris
@@ -120,6 +123,8 @@ class RenderConfig:
 class SceneBuilder:
     soups: list[tuple[TriSoup, int, int]] = field(default_factory=list)
     bsdfs: list[dict] = field(default_factory=list)
+    textures: list[np.ndarray] = field(default_factory=list)  # [R,R,3] each
+    texture_res: int = 256
     bsdf_ids: dict = field(default_factory=dict)
     emitters: list[np.ndarray] = field(default_factory=list)
     point_lights: list[dict] = field(default_factory=list)
@@ -139,6 +144,7 @@ class SceneBuilder:
     def add_bsdf(self, btype: int, name: str | None = None, **params) -> int:
         entry = dict(
             type=btype,
+            tex=int(params.get("tex", -1)),
             albedo=np.asarray(params.get("albedo", [0.5, 0.5, 0.5]), dtype=np.float64),
             specular=np.asarray(params.get("specular", [1.0, 1.0, 1.0]), dtype=np.float64),
             alpha=float(params.get("alpha", 0.1)),
@@ -151,6 +157,14 @@ class SceneBuilder:
         if name is not None:
             self.bsdf_ids[name] = idx
         return idx
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register an RGB texture; resampled to texture_res on build."""
+        img = np.asarray(image, dtype=np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        self.textures.append(img[..., :3])
+        return len(self.textures) - 1
 
     def add_emitter(self, radiance: np.ndarray) -> int:
         self.emitters.append(np.asarray(radiance, dtype=np.float64))
@@ -213,15 +227,17 @@ class SceneBuilder:
         return float(pt_power / (pt_power + area_power))
 
     def build(self, pad_tris_to: int | None = None) -> tuple[SceneData, RenderConfig]:
-        all_v, all_n, all_b, all_e = [], [], [], []
+        all_v, all_n, all_uv, all_b, all_e = [], [], [], [], []
         for soup, bsdf_i, emitter_i in self.soups:
-            v, n = soup.concat()
+            v, n, uv = soup.concat()
             all_v.append(v)
             all_n.append(n)
+            all_uv.append(uv)
             all_b.append(np.full(len(v), bsdf_i, dtype=np.int32))
             all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
         verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3))
         normals = np.concatenate(all_n) if all_n else np.zeros((0, 3, 3))
+        uvs = np.concatenate(all_uv) if all_uv else np.zeros((0, 3, 2))
         tri_bsdf = np.concatenate(all_b) if all_b else np.zeros(0, np.int32)
         tri_emitter = np.concatenate(all_e) if all_e else np.zeros(0, np.int32)
 
@@ -262,6 +278,7 @@ class SceneBuilder:
             e2 = np.concatenate([e2, np.zeros((pad, 3))])
             ng = np.concatenate([ng, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
             normals = np.concatenate([normals, np.tile(np.eye(3)[None, 2:3], (pad, 3, 1)).reshape(pad, 3, 3)])
+            uvs = np.concatenate([uvs, np.zeros((pad, 3, 2))])
             tri_bsdf = np.concatenate([tri_bsdf, np.zeros(pad, np.int32)])
             tri_emitter = np.concatenate([tri_emitter, np.full(pad, -1, np.int32)])
 
@@ -270,6 +287,21 @@ class SceneBuilder:
         f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
         i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
         fov = np.deg2rad(self.fov_deg)
+
+        # Texture stack: bilinear resample everything to a fixed resolution
+        # so lookups are a single [NT, R, R, 3] gather.
+        R = self.texture_res
+        if self.textures:
+            stack = np.zeros((len(self.textures), R, R, 3), np.float32)
+            for ti, img in enumerate(self.textures):
+                h_, w_ = img.shape[:2]
+                yi = (np.arange(R) + 0.5) * h_ / R - 0.5
+                xi = (np.arange(R) + 0.5) * w_ / R - 0.5
+                y0 = np.clip(np.floor(yi).astype(int), 0, h_ - 1)
+                x0 = np.clip(np.floor(xi).astype(int), 0, w_ - 1)
+                stack[ti] = img[y0][:, x0]
+        else:
+            stack = np.zeros((1, 1, 1, 3), np.float32)
 
         # BVH over the real (unpadded) triangles.
         from ..render.bvh import build_bvh
@@ -283,7 +315,8 @@ class SceneBuilder:
         btri_e2 = np.where(sel, e2[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
         data = SceneData(
             tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2), tri_ng=f32(ng),
-            tri_ns=f32(normals), tri_bsdf=i32(tri_bsdf), tri_emitter=i32(tri_emitter),
+            tri_ns=f32(normals), tri_uv=f32(uvs),
+            tri_bsdf=i32(tri_bsdf), tri_emitter=i32(tri_emitter),
             bsdf_type=i32([b["type"] for b in self.bsdfs]),
             bsdf_albedo=f32([b["albedo"] for b in self.bsdfs]),
             bsdf_specular=f32([b["specular"] for b in self.bsdfs]),
@@ -291,6 +324,8 @@ class SceneBuilder:
             bsdf_eta=f32([b["eta"] for b in self.bsdfs]),
             bsdf_k=f32([b["k"] for b in self.bsdfs]),
             bsdf_exponent=f32([b["exponent"] for b in self.bsdfs]),
+            bsdf_tex=i32([b.get("tex", -1) for b in self.bsdfs]),
+            textures=f32(stack),
             emitter_radiance=f32(np.asarray(self.emitters).reshape(-1, 3))
             if self.emitters else f32(np.zeros((1, 3))),
             em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),

@@ -25,13 +25,16 @@ def _transform_normals(m: np.ndarray, ns: np.ndarray) -> np.ndarray:
 
 
 class TriSoup:
-    """Accumulates triangles: vertices [T,3,3], shading normals [T,3,3]."""
+    """Accumulates triangles: vertices [T,3,3], shading normals [T,3,3],
+    texture coordinates [T,3,2]."""
 
     def __init__(self):
         self.verts: list[np.ndarray] = []
         self.normals: list[np.ndarray] = []
+        self.uvs: list[np.ndarray] = []
 
-    def add(self, verts: np.ndarray, normals: np.ndarray | None = None):
+    def add(self, verts: np.ndarray, normals: np.ndarray | None = None,
+            uvs: np.ndarray | None = None):
         verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3, 3)
         if normals is None:
             e1 = verts[:, 1] - verts[:, 0]
@@ -39,13 +42,20 @@ class TriSoup:
             n = np.cross(e1, e2)
             n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
             normals = np.repeat(n[:, None, :], 3, axis=1)
+        if uvs is None:
+            uvs = np.zeros((len(verts), 3, 2))
         self.verts.append(verts)
         self.normals.append(np.asarray(normals, dtype=np.float64).reshape(-1, 3, 3))
+        self.uvs.append(np.asarray(uvs, dtype=np.float64).reshape(-1, 3, 2))
 
-    def concat(self) -> tuple[np.ndarray, np.ndarray]:
+    def concat(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if not self.verts:
-            return np.zeros((0, 3, 3)), np.zeros((0, 3, 3))
-        return np.concatenate(self.verts), np.concatenate(self.normals)
+            return np.zeros((0, 3, 3)), np.zeros((0, 3, 3)), np.zeros((0, 3, 2))
+        return (
+            np.concatenate(self.verts),
+            np.concatenate(self.normals),
+            np.concatenate(self.uvs),
+        )
 
 
 def make_rectangle(to_world: np.ndarray, flip_normals: bool = False) -> TriSoup:
@@ -54,14 +64,17 @@ def make_rectangle(to_world: np.ndarray, flip_normals: bool = False) -> TriSoup:
     )
     tris = np.array([[corners[0], corners[1], corners[2]],
                      [corners[0], corners[2], corners[3]]])
+    uv_c = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float64)
+    uvs = np.array([[uv_c[0], uv_c[1], uv_c[2]], [uv_c[0], uv_c[2], uv_c[3]]])
     n = np.array([[0.0, 0.0, 1.0]])
     world = _transform_points(to_world, tris.reshape(-1, 3)).reshape(-1, 3, 3)
     wn = _transform_normals(to_world, n)
     if flip_normals:
         wn = -wn
         world = world[:, ::-1, :]
+        uvs = uvs[:, ::-1, :]
     soup = TriSoup()
-    soup.add(world, np.repeat(np.repeat(wn[None], 3, axis=1), 2, axis=0).reshape(-1, 3, 3))
+    soup.add(world, np.repeat(np.repeat(wn[None], 3, axis=1), 2, axis=0).reshape(-1, 3, 3), uvs)
     return soup
 
 
@@ -136,10 +149,12 @@ def mesh_to_soup(
     v = mesh["positions"]
     faces = mesh["faces"]
     vn = mesh.get("normals")
+    vt = mesh.get("uv")
     if mesh.get("face_normals"):
         vn = None
     tri_v = v[faces]  # [F, 3, 3]
     tri_n = vn[faces] if vn is not None else None
+    tri_uv = vt[faces] if vt is not None else None
     if to_world is not None:
         tri_v = _transform_points(to_world, tri_v.reshape(-1, 3)).reshape(-1, 3, 3)
         if tri_n is not None:
@@ -151,13 +166,16 @@ def mesh_to_soup(
     keep = area2 > 1e-16
     tri_v = tri_v[keep]
     tri_n = tri_n[keep] if tri_n is not None else None
+    tri_uv = tri_uv[keep] if tri_uv is not None else None
     if flip_normals:
         tri_v = tri_v[:, ::-1, :]
         if tri_n is not None:
             tri_n = -tri_n[:, ::-1, :]
+        if tri_uv is not None:
+            tri_uv = tri_uv[:, ::-1, :]
     soup = TriSoup()
     if len(tri_v):
-        soup.add(tri_v, tri_n)
+        soup.add(tri_v, tri_n, tri_uv)
     return soup
 
 
@@ -171,39 +189,48 @@ def load_obj(
     """
     vs: list[list[float]] = []
     vns: list[list[float]] = []
-    faces: list[list[tuple[int, int]]] = []
+    vts: list[list[float]] = []
+    faces: list[list[tuple[int, int, int]]] = []
     with open(path, "r", errors="replace") as f:
         for line in f:
             if line.startswith("v "):
                 vs.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("vn "):
                 vns.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                vts.append([float(x) for x in line.split()[1:3]])
             elif line.startswith("f "):
                 idx = []
                 for tok in line.split()[1:]:
                     parts = tok.split("/")
                     vi = int(parts[0])
+                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
                     ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
-                    idx.append((vi, ni))
+                    idx.append((vi, ti, ni))
                 faces.append(idx)
     v = np.asarray(vs, dtype=np.float64)
     vn = np.asarray(vns, dtype=np.float64) if vns else None
+    vt = np.asarray(vts, dtype=np.float64) if vts else None
 
     def res(i, n):
         return i - 1 if i > 0 else n + i
 
-    tri_v, tri_n = [], []
+    tri_v, tri_n, tri_t = [], [], []
     for face in faces:
         for k in range(1, len(face) - 1):
             ids = [face[0], face[k], face[k + 1]]
-            pv = np.array([v[res(i, len(v))] for i, _ in ids])
+            pv = np.array([v[res(i, len(v))] for i, _, _ in ids])
             tri_v.append(pv)
-            if vn is not None and not face_normals and all(ni != 0 for _, ni in ids):
-                tri_n.append(np.array([vn[res(ni, len(vn))] for _, ni in ids]))
+            if vn is not None and not face_normals and all(ni != 0 for _, _, ni in ids):
+                tri_n.append(np.array([vn[res(ni, len(vn))] for _, _, ni in ids]))
             else:
                 tri_n.append(None)
+            if vt is not None and all(ti != 0 for _, ti, _ in ids):
+                tri_t.append(np.array([vt[res(ti, len(vt))] for _, ti, _ in ids]))
+            else:
+                tri_t.append(None)
     soup = TriSoup()
-    for pv, pn in zip(tri_v, tri_n):
+    for pv, pn, pt in zip(tri_v, tri_n, tri_t):
         if to_world is not None:
             pv = _transform_points(to_world, pv)
             if pn is not None:
@@ -212,5 +239,8 @@ def load_obj(
             pv = pv[::-1]
             if pn is not None:
                 pn = -pn[::-1]
-        soup.add(pv[None], None if pn is None else pn[None])
+            if pt is not None:
+                pt = pt[::-1]
+        soup.add(pv[None], None if pn is None else pn[None],
+                 None if pt is None else pt[None])
     return soup

@@ -291,6 +291,9 @@ class XMLLoader:
                 self.builder.bsdf_ids[name] = idx
             return idx
         kwargs = {}
+        tex_id = self._bsdf_texture(el)
+        if tex_id >= 0:
+            kwargs["tex"] = tex_id
         if btype == "diffuse":
             code = BSDF_DIFFUSE
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
@@ -335,6 +338,34 @@ class XMLLoader:
             code = BSDF_DIFFUSE
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
         return self.builder.add_bsdf(code, name=name, **kwargs)
+
+    def _bsdf_texture(self, el) -> int:
+        """Load a nested <texture type=bitmap> (albedo channels only).
+
+        Returns a texture id or -1. LFS-stub/unreadable files fall back to a
+        mid-gray placeholder so scenes still load.
+        """
+        for sub in el:
+            if sub.tag == "texture" and sub.get("type") == "bitmap":
+                tp = _props(sub, self.variables)
+                fname = tp.get("filename")
+                img = None
+                if fname:
+                    path = os.path.join(self.base_dir, fname)
+                    try:
+                        from PIL import Image
+
+                        img = np.asarray(
+                            Image.open(path).convert("RGB"), dtype=np.float32
+                        ) / 255.0
+                        # sRGB → linear (approximate).
+                        img = img ** 2.2
+                    except Exception:
+                        img = None
+                if img is None:
+                    img = np.full((4, 4, 3), 0.5, np.float32)
+                return self.builder.add_texture(img)
+        return -1
 
     def _shape(self, el, base_dir):
         stype = _subst(el.get("type"), self.variables)
