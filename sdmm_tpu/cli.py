@@ -57,7 +57,14 @@ def cmd_render(args):
     os.makedirs(out_dir, exist_ok=True)
 
     t0 = time.time()
-    if integrator == "sdmm":
+    if integrator == "ppg":
+        from .guiding.ppg import PPGConfig, PPGTrainer
+
+        trainer = PPGTrainer(scene, cfg, PPGConfig(seed=builder.seed))
+        image, iters = trainer.run(total_spp=spp, verbose=args.verbose)
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(trainer.stats, f, indent=2)
+    elif integrator == "sdmm":
         from .guiding import io as gio
         from .guiding.trainer import SDMMTrainer, TrainerConfig
 
@@ -125,7 +132,7 @@ def main(argv=None):
     r.add_argument("-o", "--output")
     r.add_argument("-D", "--define", action="append", metavar="key=val",
                    help="scene variable override (reference: mitsuba -D)")
-    r.add_argument("--integrator", choices=["gt", "volpath", "path", "sdmm"])
+    r.add_argument("--integrator", choices=["gt", "volpath", "path", "sdmm", "ppg"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)

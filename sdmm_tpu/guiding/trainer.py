@@ -43,6 +43,11 @@ class TrainerConfig:
     double_em_until: int = 4  # 2 EM inner steps early (volpath_sdmm.cpp:299)
     sample_product: bool = False  # learned-BSDF product sampling (reference
     # sampleProduct flag, sdmm_config.h)
+    optimize_async: bool = False  # render iteration i+1 with the mixtures
+    # from iteration i-1 while the EM update for i is in flight (the
+    # reference's optimizeAsync double-buffer swap, volpath_sdmm.cpp:180-242).
+    # On TPU the EM is async-dispatched device work; this flag additionally
+    # removes the host-side dependency so dispatch overlaps rendering.
 
 
 class SDMMTrainer:
@@ -201,13 +206,28 @@ class SDMMTrainer:
         """Full training render; returns combined image + per-iteration stats."""
         c = self.cfg
         iters = []
+        pending = None  # async mode: (sdmm, em, prep, initialized) to adopt
         while self.total_spp < total_spp:
             t0 = time.time()
             still_training = self.total_spp < total_spp * c.train_fraction
+            if pending is not None:
+                # Adopt last iteration's (now finished) EM update
+                # (reference: optimize_async_wait_and_update).
+                self.sdmm, self.em, self.prep, self.initialized = pending
+                pending = None
             image, sqr, weight, batches = self.render_iteration(collect=still_training)
             t_render = time.time() - t0
             t0 = time.time()
-            n_opt = self.optimize(batches) if still_training and batches else 0
+            if still_training and batches:
+                if c.optimize_async:
+                    old = (self.sdmm, self.em, self.prep, self.initialized)
+                    n_opt = self.optimize(batches)
+                    pending = (self.sdmm, self.em, self.prep, self.initialized)
+                    self.sdmm, self.em, self.prep, self.initialized = old
+                else:
+                    n_opt = self.optimize(batches)
+            else:
+                n_opt = 0
             t_train = time.time() - t0
             iters.append(
                 {"image": np.asarray(image), "sqr": np.asarray(sqr),

@@ -86,11 +86,14 @@ _printed = False
 
 def _at_exit():
     global _printed
-    if not _printed and StatsCounter._registry:
-        rep = StatsCounter.report()
-        if any(v != 0 for v in rep.values()):
-            StatsCounter.print_report()
-        _printed = True
+    try:
+        if not _printed and StatsCounter._registry:
+            rep = StatsCounter.report()
+            if any(v != 0 for v in rep.values()):
+                StatsCounter.print_report()
+            _printed = True
+    except Exception:
+        pass  # logging streams may already be closed at interpreter exit
 
 
 atexit.register(_at_exit)

@@ -66,3 +66,26 @@ def test_guided_variance_improves(trained):
     v_first = mean_var(iters[0])
     v_late = np.mean([mean_var(i) for i in iters[-3:]])
     assert v_late < v_first * 0.9, (v_first, v_late)
+
+
+def test_async_em_overlap_unbiased():
+    """optimize_async renders with one-iteration-stale mixtures (the
+    reference's double-buffer swap) and must stay unbiased."""
+    b = make_box_scene(16, 16)
+    scene, cfg = b.build()
+    cfg.max_depth = 3
+    cfg.rr_depth = 3
+    tc = TrainerConfig(
+        n_components=8, max_leaves=32, split_threshold=2000,
+        samples_per_iteration=4, rays_per_wave=256,
+        em=em_mod.EMConfig(batch_size=1 << 11), optimize_async=True,
+        train_fraction=0.75,  # keep training past the totalSpp>12 gate
+    )
+    trainer = SDMMTrainer(scene, cfg, tc)
+    combined, iters = trainer.run(total_spp=32)
+    assert np.isfinite(combined).all()
+    ref = render(scene, cfg, spp=256, seed=21, rays_per_wave=256, nee=True)
+    rel = abs(combined.mean() - np.asarray(ref["image"]).mean()) / np.asarray(
+        ref["image"]).mean()
+    assert rel < 0.2, rel
+    assert int(jnp.sum(trainer.initialized)) > 0
