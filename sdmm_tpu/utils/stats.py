@@ -85,15 +85,23 @@ _printed = False
 
 
 def _at_exit():
+    # Print via the real stderr: logging handlers may already be torn down
+    # (pytest capture) at interpreter exit.
     global _printed
     try:
+        import sys
+
         if not _printed and StatsCounter._registry:
             rep = StatsCounter.report()
             if any(v != 0 for v in rep.values()):
-                StatsCounter.print_report()
+                err = getattr(sys, "__stderr__", None)
+                if err is not None and not err.closed:
+                    err.write("sdmm_tpu statistics:\n")
+                    for n, v in rep.items():
+                        err.write(f"  {n:<40} {v:.4g}\n")
             _printed = True
     except Exception:
-        pass  # logging streams may already be closed at interpreter exit
+        pass
 
 
 atexit.register(_at_exit)

@@ -42,7 +42,7 @@ def test_training_runs_and_activates_leaves(trained):
 def test_guided_image_matches_volpath(trained):
     """Guided estimator must stay unbiased: agree with plain PT in mean."""
     scene, cfg, trainer, combined, iters = trained
-    ref = render(scene, cfg, spp=512, seed=11, rays_per_wave=24 * 24, nee=True)
+    ref = render(scene, cfg, spp=256, seed=11, rays_per_wave=24 * 24, nee=True)
     ref_img = np.asarray(ref["image"])
     # Use late (trained) iterations only.
     late = iters[len(iters) // 2 :]

@@ -87,11 +87,11 @@ def test_product_training_runs_unbiased():
         em=em_mod.EMConfig(batch_size=1 << 11), sample_product=True,
     )
     trainer = SDMMTrainer(scene, cfg, tc)
-    combined, iters = trainer.run(total_spp=24)
+    combined, iters = trainer.run(total_spp=16)
     assert np.isfinite(combined).all()
     from sdmm_tpu.render.renderer import render
 
-    ref = render(scene, cfg, spp=256, seed=9, rays_per_wave=16 * 16, nee=True)
+    ref = render(scene, cfg, spp=128, seed=9, rays_per_wave=16 * 16, nee=True)
     rel = abs(combined.mean() - np.asarray(ref["image"]).mean()) / np.asarray(
         ref["image"]
     ).mean()
