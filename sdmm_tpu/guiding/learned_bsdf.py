@@ -23,9 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import warp
-from ..scene.scene import BSDF_DIFFUSE, BSDF_PHONG
+from ..scene.scene import BSDF_DIFFUSE, BSDF_PHONG, BSDF_ROUGHCONDUCTOR
 from . import mixture as mix
 from . import tangent as tg
+
+N_THETA_BINS = 8  # incidence-angle conditioning for glossy lobes
+# (the reference conditions 4-D mixtures on (theta_i, alpha):
+# roughconductor.cpp:176-243 create_conditional_pruned)
 
 
 def fit_directional_mixture(dirs, weights, n_components=4, iters=30, seed=0):
@@ -91,6 +95,47 @@ def cosine_dmm(n_components: int = 4, n_samples: int = 20000):
 
 
 @lru_cache(maxsize=32)
+def roughconductor_dmm(alpha: float, n_components: int = 4, n_samples: int = 12000):
+    """Incidence-conditioned DMMs of the GGX reflection lobe.
+
+    Returns (w [NB,K], mu [NB,K,3], cov [NB,K,2,2]) — one directional
+    mixture per theta_i bin, fitted to VNDF-sampled, weight-importance
+    reflection directions for wi in the local xz-plane. The runtime rotates
+    by wi's azimuth (TPU analog of the reference's 4-D conditional DMMs).
+    """
+    from .. import bsdf as bsdf_mod
+
+    ws, mus, covs = [], [], []
+    for b in range(N_THETA_BINS):
+        theta = (b + 0.5) / N_THETA_BINS * (jnp.pi / 2)
+        wi = jnp.tile(
+            jnp.asarray([jnp.sin(theta), 0.0, jnp.cos(theta)]), (n_samples, 1)
+        )
+        params = {
+            "type": jnp.full((n_samples,), BSDF_ROUGHCONDUCTOR, jnp.int32),
+            "albedo": jnp.ones((n_samples, 3)),
+            "specular": jnp.ones((n_samples, 3)),
+            "alpha": jnp.full((n_samples,), alpha),
+            "eta": jnp.zeros((n_samples,)),
+            "k": jnp.ones((n_samples, 3)),
+            "exponent": jnp.full((n_samples,), 30.0),
+        }
+        key = jax.random.PRNGKey(100 + b)
+        u1 = jax.random.uniform(key, (n_samples,))
+        u2 = jax.random.uniform(jax.random.fold_in(key, 1), (n_samples, 2))
+        bs = bsdf_mod.sample(params, wi, u1, u2, types=(BSDF_ROUGHCONDUCTOR,))
+        w_samp = jnp.max(bs["weight"], axis=-1)
+        ok = w_samp > 0
+        w_, m_, c_ = fit_directional_mixture(
+            bs["wo"], jnp.where(ok, w_samp, 0.0), n_components, iters=25, seed=b
+        )
+        ws.append(w_)
+        mus.append(m_)
+        covs.append(c_)
+    return np.stack(ws), np.stack(mus), np.stack(covs)
+
+
+@lru_cache(maxsize=32)
 def phong_lobe_dmm(exponent: float, n_components: int = 4, n_samples: int = 20000):
     """DMM of a power-cosine lobe around +z (rotated to reflect(wi) at
     runtime, like the reference's phong DMM)."""
@@ -106,27 +151,35 @@ def phong_lobe_dmm(exponent: float, n_components: int = 4, n_samples: int = 2000
 def build_learned_table(scene, n_components: int = 4):
     """Per-scene-BSDF learned mixtures in the LOCAL frame.
 
-    Returns dict of arrays: has [B], mode [B] (0=orient to normal,
-    1=orient to reflect(wi)), weight [B,Kb], mu_local [B,Kb,3],
-    cov [B,Kb,2,2].
+    Arrays carry a theta_i-bin axis: weight [B,NB,Kb], mu_local
+    [B,NB,Kb,3], cov [B,NB,Kb,2,2]. Unconditioned models (diffuse/phong)
+    replicate their single mixture across bins. mode: 0 = orient to the
+    shading normal, 1 = orient to reflect(wi), 2 = theta-binned +
+    azimuth-rotated (rough conductor).
     """
     btypes = np.asarray(scene.bsdf_type)
     exps = np.asarray(scene.bsdf_exponent)
+    alphas = np.asarray(scene.bsdf_alpha)
     b = len(btypes)
     kb = n_components
+    nb = N_THETA_BINS
     has = np.zeros(b, bool)
     mode = np.zeros(b, np.int32)
-    weight = np.zeros((b, kb), np.float32)
-    mu = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (b, kb, 1))
-    cov = np.tile(np.eye(2, dtype=np.float32) * 0.5, (b, kb, 1, 1))
+    weight = np.zeros((b, nb, kb), np.float32)
+    mu = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (b, nb, kb, 1))
+    cov = np.tile(np.eye(2, dtype=np.float32) * 0.5, (b, nb, kb, 1, 1))
     for i in range(b):
         if btypes[i] == BSDF_DIFFUSE:
             w_, m_, c_ = cosine_dmm(kb)
             has[i], mode[i] = True, 0
-            weight[i], mu[i], cov[i] = w_, m_, c_
+            weight[i], mu[i], cov[i] = w_[None], m_[None], c_[None]
         elif btypes[i] == BSDF_PHONG:
             w_, m_, c_ = phong_lobe_dmm(float(round(float(exps[i]), 1)), kb)
             has[i], mode[i] = True, 1
+            weight[i], mu[i], cov[i] = w_[None], m_[None], c_[None]
+        elif btypes[i] == BSDF_ROUGHCONDUCTOR:
+            w_, m_, c_ = roughconductor_dmm(float(round(float(alphas[i]), 3)), kb)
+            has[i], mode[i] = True, 2
             weight[i], mu[i], cov[i] = w_, m_, c_
     return {
         "has": jnp.asarray(has),
@@ -148,11 +201,31 @@ def to_world_conditional(table, bsdf_idx, s_ax, t_ax, n_ax, wi_local):
 
     has = table["has"][bsdf_idx]
     mode = table["mode"][bsdf_idx]
-    w = table["weight"][bsdf_idx]
-    mu_l = table["mu_local"][bsdf_idx]
-    cov = table["cov"][bsdf_idx]
+    # theta_i bin (mode 2); unconditioned entries replicate bin 0.
+    cos_i = jnp.clip(jnp.abs(wi_local[..., 2]), 0.0, 1.0)
+    theta = jnp.arccos(cos_i)
+    tbin = jnp.clip(
+        (theta / (jnp.pi / 2) * N_THETA_BINS).astype(jnp.int32), 0, N_THETA_BINS - 1
+    )
+    tbin = jnp.where(mode == 2, tbin, 0)
+    w = table["weight"][bsdf_idx, tbin]
+    mu_l = table["mu_local"][bsdf_idx, tbin]
+    cov = table["cov"][bsdf_idx, tbin]
+    # Mode 2: the mixture was fitted with wi in the xz-plane — rotate it
+    # around local z by wi's azimuth.
+    phi = jnp.arctan2(wi_local[..., 1], wi_local[..., 0])
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    mu_rot = jnp.stack(
+        [
+            cphi[..., None] * mu_l[..., 0] - sphi[..., None] * mu_l[..., 1],
+            sphi[..., None] * mu_l[..., 0] + cphi[..., None] * mu_l[..., 1],
+            mu_l[..., 2],
+        ],
+        axis=-1,
+    )
+    mu_l = jnp.where((mode == 2)[..., None, None], mu_rot, mu_l)
 
-    # Local z-target: normal (mode 0) or reflect(wi) (mode 1).
+    # Local z-target: normal (modes 0 and 2) or reflect(wi) (mode 1).
     z_loc = jnp.where(
         (mode == 1)[..., None],
         reflect(wi_local),

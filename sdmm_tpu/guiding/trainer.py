@@ -43,6 +43,9 @@ class TrainerConfig:
     double_em_until: int = 4  # 2 EM inner steps early (volpath_sdmm.cpp:299)
     sample_product: bool = False  # learned-BSDF product sampling (reference
     # sampleProduct flag, sdmm_config.h)
+    jitter_replicas: bool = True  # cross-leaf sample sharing: replicate
+    # high-value / path-terminal samples into a neighboring leaf with a
+    # cell-diagonal jitter (reference: sdmm_proc.cpp:932-964)
     optimize_async: bool = False  # render iteration i+1 with the mixtures
     # from iteration i-1 while the EM update for i is in flight (the
     # reference's optimizeAsync double-buffer swap, volpath_sdmm.cpp:180-242).
@@ -181,6 +184,25 @@ class SDMMTrainer:
             self.tables = self.tree.device_tables()
             self._apply_copies(copies)
             leaf = find_leaf(self.tables, pos)
+
+        # Jittered cross-leaf replicas (reference: sdmm_proc.cpp:932-964):
+        # offset each sample by ±half the leaf diagonal; keep replicas that
+        # land in a DIFFERENT leaf. One replica per valid sample of weight
+        # > 1000 or from the deepest recorded vertices — approximated here
+        # by replicating every valid sample once with weight-based masking.
+        if c.jitter_replicas:
+            k_j = jax.random.fold_in(jax.random.PRNGKey(c.seed ^ 0x9E37), self.iteration)
+            lo = self.tables["leaf_lo"][leaf]
+            hi = self.tables["leaf_hi"][leaf]
+            offs = (jax.random.uniform(k_j, pos.shape) - 0.5) * (hi - lo)
+            pos_j = pos + offs
+            leaf_j = find_leaf(self.tables, pos_j)
+            keep = valid & (leaf_j != leaf)
+            pos = jnp.concatenate([pos, jnp.where(keep[:, None], pos_j, 0.5)])
+            d = jnp.concatenate([d, d])
+            wgt = jnp.concatenate([wgt, jnp.where(keep, wgt, -1.0)])
+            valid = jnp.concatenate([valid, keep])
+            leaf = jnp.concatenate([leaf, jnp.where(keep, leaf_j, 0)])
 
         counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(
             valid.astype(jnp.int32)

@@ -96,3 +96,46 @@ def test_product_training_runs_unbiased():
         ref["image"]
     ).mean()
     assert rel < 0.2, rel
+
+
+def test_roughconductor_conditioned_dmm():
+    """Theta-binned GGX DMM peaks near the reflection direction."""
+    import jax.numpy as _jnp
+    from sdmm_tpu.scene.scene import SceneBuilder as SB, BSDF_ROUGHCONDUCTOR as RC
+
+    b = SB()
+    rc = b.add_bsdf(RC, alpha=0.15, specular=[1, 1, 1], eta=0.2,
+                    k=[3.9, 2.45, 2.14])
+    from sdmm_tpu.scene import shapes as _shp
+    import numpy as _np
+
+    b.add_shape(_shp.make_rectangle(_np.eye(4)), rc)
+    scene, cfg = b.build()
+    table = build_learned_table(scene)
+    assert bool(table["has"][rc])
+    assert int(table["mode"][rc]) == 2
+
+    # wi at 45° with azimuth 30°; identity shading frame.
+    th = _np.deg2rad(45.0)
+    ph = _np.deg2rad(30.0)
+    wi = _jnp.asarray(
+        [[_np.sin(th) * _np.cos(ph), _np.sin(th) * _np.sin(ph), _np.cos(th)]],
+        _jnp.float32,
+    )
+    n = 1
+    s_ax = _jnp.tile(_jnp.asarray([1.0, 0, 0]), (n, 1))
+    t_ax = _jnp.tile(_jnp.asarray([0.0, 1, 0]), (n, 1))
+    n_ax = _jnp.tile(_jnp.asarray([0.0, 0, 1]), (n, 1))
+    cond, has = to_world_conditional(
+        table, _jnp.full((n,), rc, _jnp.int32), s_ax, t_ax, n_ax, wi
+    )
+    assert bool(has[0])
+    c0 = jax.tree.map(lambda x: x[0], cond)
+    refl = _jnp.asarray([-wi[0, 0], -wi[0, 1], wi[0, 2]])
+    p_refl = float(mix.conditional_pdf(c0, refl))
+    p_opp = float(mix.conditional_pdf(c0, -refl))
+    p_side = float(mix.conditional_pdf(
+        c0, _jnp.asarray([wi[0, 1], -wi[0, 0], wi[0, 2]])
+    ))
+    assert p_refl > 20 * max(p_opp, 1e-9), (p_refl, p_opp)
+    assert p_refl > 3 * p_side, (p_refl, p_side)
