@@ -93,7 +93,7 @@ def trace_wave_guided(
         li = li + jnp.where(active[..., None], throughput * le, 0.0)
         le_out = jnp.where(active[..., None], le, 0.0)
         li = li + jnp.where(
-            (active & ~hit["valid"])[..., None], throughput * scene.env_radiance, 0.0
+            (active & ~hit["valid"])[..., None], throughput * emitters.env_eval(scene, rd), 0.0
         )
         active = active & hit["valid"]
 

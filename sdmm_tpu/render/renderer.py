@@ -29,11 +29,13 @@ def render(
     nee: bool = True,
     trace_fn=None,
     sampler: str = "independent",
+    rfilter: str = "box",
 ):
     """Render an image; returns dict(image [H,W,3], sqr, weight).
 
     sampler: independent | stratified | halton (camera-jitter dimension;
-    reference sampler plugins, SURVEY.md C19).
+    reference sampler plugins, SURVEY.md C19). rfilter: box | gaussian
+    (reference rfilter plugins, SURVEY.md C23).
     """
     from ..core.sampler import camera_jitter
 
@@ -67,6 +69,10 @@ def render(
         ro, rd = generate_rays(scene, jnp.stack([px, py], axis=-1), w, h, cfg.fov_axis)
         li = trace(scene, kt, ro, rd)
         li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+        if rfilter == "gaussian":
+            return film_mod.splat_gaussian(
+                image, sqr, weight, pixel_idx, li, px, py, w, h
+            )
         return film_mod.splat(image, sqr, weight, pixel_idx, li)
 
     key = jax.random.PRNGKey(seed)

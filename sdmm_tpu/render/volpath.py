@@ -115,7 +115,7 @@ def trace_wave(
         # Environment on miss.
         li = li + jnp.where(
             (active & ~scattered & ~hit["valid"])[..., None],
-            throughput * scene.env_radiance, 0.0,
+            throughput * emitters.env_eval(scene, rd), 0.0,
         )
 
         on_surface = active & hit["valid"] & ~scattered

@@ -135,6 +135,36 @@ def pdf_direct_hit(scene, pdf_over_area_dense, tri, d, dist):
     return jnp.where((tri >= 0) & (cos_l > 1e-6), pdf, 0.0)
 
 
+def env_eval(scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance along (missed-ray) directions d [N, 3].
+
+    Constant env (reference: emitters/constant.cpp) or equirectangular
+    envmap (reference: emitters/envmap.cpp); env_radiance acts as the
+    constant value / the envmap scale.
+    """
+    if scene.env_map.shape[0] <= 1:
+        return jnp.broadcast_to(scene.env_radiance, d.shape)
+    dl = jnp.einsum("ji,...j->...i", scene.env_to_world, d)  # world→local
+    he, we = scene.env_map.shape[0], scene.env_map.shape[1]
+    u = 0.5 + jnp.arctan2(dl[..., 0], -dl[..., 2]) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(dl[..., 1], -1.0, 1.0)) / jnp.pi
+    x = jnp.clip((u % 1.0) * we, 0.0, we - 1e-3)
+    y = jnp.clip(v * he, 0.0, he - 1e-3)
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, we - 1)
+    y1 = jnp.minimum(y0 + 1, he - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    c = (
+        scene.env_map[y0, x0] * (1 - fx) * (1 - fy)
+        + scene.env_map[y0, x1] * fx * (1 - fy)
+        + scene.env_map[y1, x0] * (1 - fx) * fy
+        + scene.env_map[y1, x1] * fx * fy
+    )
+    return c * scene.env_radiance
+
+
 def eval_emitter(scene, interaction, wi_world):
     """Radiance emitted toward wi_world from a hit (front side only)."""
     em = interaction["emitter"]

@@ -65,7 +65,9 @@ class SceneData(NamedTuple):
     em_tri_cdf: jnp.ndarray  # [M] CDF over emissive tris (by power)
     em_tri_pdf: jnp.ndarray  # [M] discrete probability of each tri
     em_tri_area: jnp.ndarray  # [M]
-    env_radiance: jnp.ndarray  # [3] constant environment (zeros = none)
+    env_radiance: jnp.ndarray  # [3] constant environment / envmap scale
+    env_map: jnp.ndarray  # [He, We, 3] equirect envmap ([1,1,3] zeros = none)
+    env_to_world: jnp.ndarray  # [3, 3] envmap orientation
     # Global homogeneous medium (reference: src/medium/homogeneous.cpp;
     # zeros = vacuum). Per-shape interior media are future work.
     med_sigma_t: jnp.ndarray  # [3] extinction
@@ -129,6 +131,8 @@ class SceneBuilder:
     emitters: list[np.ndarray] = field(default_factory=list)
     point_lights: list[dict] = field(default_factory=list)
     env_radiance: np.ndarray | None = None
+    env_map: np.ndarray | None = None  # [He, We, 3]
+    env_to_world: np.ndarray = field(default_factory=lambda: np.eye(3))
     medium: dict | None = None  # {"sigma_t": [3], "albedo": [3], "g": float}
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     fov_deg: float = 45.0
@@ -331,6 +335,10 @@ class SceneBuilder:
             em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),
             em_tri_area=f32(areas),
             env_radiance=f32(self.env_radiance if self.env_radiance is not None else np.zeros(3)),
+            env_map=f32(
+                self.env_map if self.env_map is not None else np.zeros((1, 1, 3))
+            ),
+            env_to_world=f32(self.env_to_world),
             pt_pos=f32(np.asarray([l["pos"] for l in self.point_lights]).reshape(-1, 3)),
             pt_intensity=f32(
                 np.asarray([l["intensity"] for l in self.point_lights]).reshape(-1, 3)

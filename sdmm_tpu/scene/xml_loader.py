@@ -251,10 +251,26 @@ class XMLLoader:
                         d = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
                     irr = np.asarray(p.get("irradiance", np.ones(3))).reshape(3)
                     self.builder.add_directional_light(d, irr)
-                elif etype in ("envmap", "sky", "sun", "sunsky"):
-                    # Image-based environments: the test-suite assets are
-                    # git-lfs stubs, so fall back to a scaled constant of
-                    # matching mean brightness.
+                elif etype == "envmap":
+                    scale = float(p.get("scale", 1.0))
+                    img = None
+                    if p.get("filename"):
+                        path = os.path.join(self.base_dir, p["filename"])
+                        try:
+                            from ..utils.exr import read_exr
+
+                            img = read_exr(path)[..., :3]
+                        except Exception:
+                            img = None
+                    if img is not None:
+                        self.builder.env_map = np.asarray(img, np.float32)
+                        self.builder.env_radiance = np.full(3, scale)
+                        if "toWorld" in p:
+                            self.builder.env_to_world = p["toWorld"][:3, :3]
+                    else:
+                        # LFS-stub/unreadable asset → scaled constant.
+                        self.builder.env_radiance = np.full(3, scale)
+                elif etype in ("sky", "sun", "sunsky"):
                     scale = float(p.get("scale", 1.0))
                     self.builder.env_radiance = np.full(3, scale)
 

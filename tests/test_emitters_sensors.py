@@ -164,3 +164,39 @@ def test_directional_light():
     assert len(floor) > 20
     assert abs(np.median(floor) - expected) / expected < 0.15, (
         np.median(floor), expected)
+
+
+def test_image_envmap_directional_colors():
+    """Equirect envmap lookup: sky blue above, ground green below."""
+    import numpy as _np
+    from sdmm_tpu.scene.scene import SceneBuilder as SB, BSDF_DIFFUSE as DIFF
+    from sdmm_tpu.scene import emitters as _em
+
+    b = SB()
+    b.add_bsdf(DIFF)
+    env = _np.zeros((8, 16, 3), _np.float32)
+    env[:4] = [0.1, 0.2, 1.0]  # top half (y > 0): blue
+    env[4:] = [0.1, 1.0, 0.2]  # bottom: green
+    b.env_map = env
+    b.env_radiance = _np.ones(3)
+    b.set_sensor(_np.eye(4), fov_deg=40.0, width=8, height=8)
+    scene, cfg = b.build()
+    import jax.numpy as _jnp
+
+    up = _em.env_eval(scene, _jnp.asarray([[0.0, 1.0, 0.0]]))
+    down = _em.env_eval(scene, _jnp.asarray([[0.0, -1.0, 0.0]]))
+    assert float(up[0, 2]) > 0.8 and float(up[0, 1]) < 0.5
+    assert float(down[0, 1]) > 0.8 and float(down[0, 2]) < 0.5
+
+
+def test_gaussian_rfilter_smooths():
+    scene, cfg = point_light_scene()
+    box = render(scene, cfg, spp=8, seed=7, rays_per_wave=24 * 24, rfilter="box")
+    gauss = render(scene, cfg, spp=8, seed=7, rays_per_wave=24 * 24,
+                   rfilter="gaussian")
+    ib, ig = np.asarray(box["image"]), np.asarray(gauss["image"])
+    # Same energy, lower high-frequency content.
+    assert abs(ib.mean() - ig.mean()) / max(ib.mean(), 1e-9) < 0.05
+    def hf(x):
+        return np.abs(np.diff(x.mean(-1), axis=1)).mean()
+    assert hf(ig) < hf(ib), (hf(ib), hf(ig))
