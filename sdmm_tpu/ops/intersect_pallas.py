@@ -119,21 +119,29 @@ def mt_sweep(ro, rd, t_max, v0, e1, e2):
     """Closest-hit sweep: rays [N,3] × triangles [T,3] → hit record dict.
 
     T must be small enough for the soup to sit in VMEM (callers above
-    ~2k triangles use the BVH). N and T are padded internally.
+    ~2k triangles use the BVH). N and T are padded internally. Prefer
+    mt_sweep_native with pre-transposed scene arrays in hot loops.
     """
-    n = ro.shape[0]
     t = v0.shape[0]
-    n_pad = (-n) % TILE_RAYS
     t_pad = (-t) % TRI_CHUNK
-    ro_p = jnp.pad(ro, ((0, n_pad), (0, 0)))
-    rd_p = jnp.pad(rd, ((0, n_pad), (0, 0)), constant_values=1.0)
-    tm_p = jnp.pad(t_max.reshape(-1, 1), ((0, n_pad), (0, 0)))
     # Transposed [3, Tp] triangle layout (lane-contiguous chunk slices).
     v0_p = jnp.pad(v0, ((0, t_pad), (0, 0))).T
     e1_p = jnp.pad(e1, ((0, t_pad), (0, 0))).T
     e2_p = jnp.pad(e2, ((0, t_pad), (0, 0))).T
+    return mt_sweep_native(ro, rd, t_max, v0_p, e1_p, e2_p, t)
+
+
+@partial(jax.jit, static_argnames=("n_tris",))
+def mt_sweep_native(ro, rd, t_max, v0_p, e1_p, e2_p, n_tris: int):
+    """Closest-hit sweep over pre-transposed [3, Tp] triangle arrays."""
+    n = ro.shape[0]
+    t = n_tris
+    n_pad = (-n) % TILE_RAYS
+    ro_p = jnp.pad(ro, ((0, n_pad), (0, 0)))
+    rd_p = jnp.pad(rd, ((0, n_pad), (0, 0)), constant_values=1.0)
+    tm_p = jnp.pad(t_max.reshape(-1, 1), ((0, n_pad), (0, 0)))
     n_tot = n + n_pad
-    n_chunks = (t + t_pad) // TRI_CHUNK
+    n_chunks = v0_p.shape[1] // TRI_CHUNK
 
     grid = (n_tot // TILE_RAYS,)
     out_t, out_i, out_u, out_v = pl.pallas_call(

@@ -89,12 +89,14 @@ def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
 
         return bvh.traverse(scene, ro, rd, t_max, any_hit=False)
     if _use_pallas():
-        from ..ops.intersect_pallas import mt_sweep
+        from ..ops.intersect_pallas import mt_sweep_native
 
         n_rays = ro.shape[0]
         if t_max is None:
             t_max = jnp.full((n_rays,), INF)
-        return mt_sweep(ro, rd, t_max, scene.tri_v0, scene.tri_e1, scene.tri_e2)
+        return mt_sweep_native(
+            ro, rd, t_max, scene.ptri_v0, scene.ptri_e1, scene.ptri_e2, n_tris
+        )
     n_rays = ro.shape[0]
     if t_max is None:
         t_max = jnp.full((n_rays,), INF)
@@ -148,11 +150,11 @@ def occluded(scene, ro, rd, t_max, chunk: int = 512):
 
         return bvh.traverse(scene, ro, rd, t_max, any_hit=True)
     if _use_pallas():
-        from ..ops.intersect_pallas import mt_sweep
+        from ..ops.intersect_pallas import mt_sweep_native
 
-        return mt_sweep(ro, rd, t_max, scene.tri_v0, scene.tri_e1, scene.tri_e2)[
-            "valid"
-        ]
+        return mt_sweep_native(
+            ro, rd, t_max, scene.ptri_v0, scene.ptri_e1, scene.ptri_e2, n_tris
+        )["valid"]
     chunk = _pick_chunk(n_tris, chunk)
     pad = (-n_tris) % chunk
     v0 = jnp.pad(scene.tri_v0, ((0, pad), (0, 0)))

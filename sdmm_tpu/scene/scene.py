@@ -102,6 +102,11 @@ class SceneData(NamedTuple):
     btri_e1: jnp.ndarray  # [T', 3]
     btri_e2: jnp.ndarray  # [T', 3]
     btri_orig: jnp.ndarray  # [T']
+    # Pallas-kernel-native triangle layout: transposed [3, Tp] padded to the
+    # kernel chunk (ops/intersect_pallas.py) — no per-call glue copies.
+    ptri_v0: jnp.ndarray  # [3, Tp]
+    ptri_e1: jnp.ndarray  # [3, Tp]
+    ptri_e2: jnp.ndarray  # [3, Tp]
 
 
 @dataclass
@@ -307,6 +312,16 @@ class SceneBuilder:
         else:
             stack = np.zeros((1, 1, 1, 3), np.float32)
 
+        # Kernel-native transposed/padded triangle layout.
+        from ..ops.intersect_pallas import TRI_CHUNK
+
+        def ptri(arr):
+            a = np.asarray(arr[: len(verts)], np.float32)
+            pad_k = (-len(a)) % TRI_CHUNK
+            if len(a) == 0:
+                return np.zeros((3, TRI_CHUNK), np.float32)
+            return np.pad(a, ((0, pad_k), (0, 0))).T
+
         # BVH over the real (unpadded) triangles.
         from ..render.bvh import build_bvh
 
@@ -364,6 +379,7 @@ class SceneBuilder:
             bvh_miss=i32(bvh["miss"]),
             btri_v0=f32(btri_v0), btri_e1=f32(btri_e1), btri_e2=f32(btri_e2),
             btri_orig=i32(perm),
+            ptri_v0=f32(ptri(v0)), ptri_e1=f32(ptri(e1)), ptri_e2=f32(ptri(e2)),
         )
         cfg = RenderConfig(
             width=self.width, height=self.height, max_depth=self.max_depth,
