@@ -96,7 +96,11 @@ def cmd_render(args):
         from .render.renderer import render as render_fn
 
         nee = integrator in ("gt", "volpath")
-        res = render_fn(scene, cfg, spp=spp, seed=builder.seed, nee=nee)
+        res = render_fn(
+            scene, cfg, spp=spp, seed=builder.seed, nee=nee,
+            sampler=args.sampler or builder.sampler,
+            rfilter=args.rfilter or builder.rfilter,
+        )
         image = res["image"]
         stats = {
             "integrator": integrator,
@@ -107,7 +111,14 @@ def cmd_render(args):
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
 
-    write_exr(out, np.asarray(image))
+    if out.endswith(".npy"):
+        # mfilm/cnpy equivalent: raw float film as a numpy array
+        # (reference: src/films/mfilm.cpp, src/films/cnpy.cpp).
+        np.save(out, np.asarray(image))
+    else:
+        write_exr(out, np.asarray(image))
+    if args.npy:
+        np.save(args.npy, np.asarray(image))
     dt = time.time() - t0
     print(f"Rendered {args.scene} [{integrator}] {cfg.width}x{cfg.height} @ {spp} spp "
           f"in {dt:.1f}s -> {out}")
@@ -139,6 +150,12 @@ def main(argv=None):
     r.add_argument("--height", type=int)
     r.add_argument("--max-depth", type=int)
     r.add_argument("--dump-iterations", action="store_true")
+    r.add_argument("--sampler",
+                   choices=["independent", "stratified", "halton", "sobol"])
+    r.add_argument("--rfilter",
+                   choices=["box", "tent", "gaussian", "mitchell",
+                            "catmullrom", "lanczos"])
+    r.add_argument("--npy", help="also save the film as a .npy array (mfilm)")
     r.add_argument("-v", "--verbose", action="store_true")
     r.set_defaults(fn=cmd_render)
 

@@ -62,6 +62,50 @@ def stratified_2d(sample_idx: jnp.ndarray, n_samples: int, pixel_id: jnp.ndarray
     return jnp.stack([u % 1.0, v % 1.0], axis=-1)
 
 
+def _bit_reverse32(x: jnp.ndarray) -> jnp.ndarray:
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return ((x & 0x0000FFFF) << 16) | ((x >> 16) & 0x0000FFFF)
+
+
+def _sobol_dim2_dirs() -> tuple:
+    """Direction numbers for Sobol dimension 2 (Joe-Kuo: s=2, a=1, m=1,3)."""
+    v = [0] * 32
+    v[0] = 1 << 31
+    v[1] = 3 << 30
+    for k in range(2, 32):
+        v[k] = v[k - 2] ^ (v[k - 2] >> 2) ^ v[k - 1]
+    return tuple(v)
+
+
+_SOBOL_DIRS = _sobol_dim2_dirs()
+
+
+def sobol_2d(sample_idx: jnp.ndarray, pixel_id: jnp.ndarray, key):
+    """First two Sobol dimensions with per-pixel Cranley-Patterson rotation
+    (reference: mitsuba/src/samplers/sobol.cpp uses per-pixel digit
+    scrambles; rotation gives the same decorrelation in wavefront form)."""
+    i = sample_idx.astype(jnp.uint32)
+    u = _bit_reverse32(i)
+    v = jnp.zeros_like(i)
+    for k in range(32):
+        bit = ((i >> k) & 1).astype(jnp.uint32)
+        v = v ^ bit * jnp.uint32(_SOBOL_DIRS[k])
+    scale = jnp.float32(2.0 ** -32)
+    pk = jax.vmap(lambda p: jax.random.uniform(jax.random.fold_in(key, p), (2,)))(
+        pixel_id
+    )
+    return jnp.stack(
+        [
+            (u.astype(jnp.float32) * scale + pk[..., 0]) % 1.0,
+            (v.astype(jnp.float32) * scale + pk[..., 1]) % 1.0,
+        ],
+        axis=-1,
+    )
+
+
 def camera_jitter(
     kind: str, key, pixel_id: jnp.ndarray, sample_idx: jnp.ndarray, n_samples: int
 ):
@@ -70,4 +114,6 @@ def camera_jitter(
         return stratified_2d(sample_idx, n_samples, pixel_id, key)
     if kind == "halton":
         return halton_2d(sample_idx, pixel_id, key)
+    if kind == "sobol":
+        return sobol_2d(sample_idx, pixel_id, key)
     return jax.random.uniform(key, pixel_id.shape + (2,))

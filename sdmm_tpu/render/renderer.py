@@ -73,6 +73,12 @@ def render(
             return film_mod.splat_gaussian(
                 image, sqr, weight, pixel_idx, li, px, py, w, h
             )
+        if rfilter != "box":
+            from .rfilters import splat_filtered
+
+            return splat_filtered(
+                image, sqr, weight, pixel_idx, li, px, py, w, h, rfilter
+            )
         return film_mod.splat(image, sqr, weight, pixel_idx, li)
 
     key = jax.random.PRNGKey(seed)

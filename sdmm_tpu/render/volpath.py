@@ -112,10 +112,19 @@ def trace_wave(
             (active & ~scattered)[..., None], throughput * le * w_hit[..., None], 0.0
         )
 
-        # Environment on miss.
+        # Environment on miss; image envmaps are MIS-weighted against the
+        # NEE envmap CDF (reference: envmap.cpp pdfDirection + miWeight in
+        # volpath.cpp). Constant environments have no NEE branch -> weight 1.
+        if nee and scene.env_pdf.shape[0] > 1:
+            pdf_env_nee = emitters.pdf_env_dir(scene, rd) * scene.env_select_prob
+            w_env = jnp.where(
+                prev_delta | (depth == 0), 1.0, mi_weight(prev_pdf, pdf_env_nee)
+            )
+        else:
+            w_env = jnp.ones(n)
         li = li + jnp.where(
             (active & ~scattered & ~hit["valid"])[..., None],
-            throughput * emitters.env_eval(scene, rd), 0.0,
+            throughput * emitters.env_eval(scene, rd) * w_env[..., None], 0.0,
         )
 
         on_surface = active & hit["valid"] & ~scattered

@@ -8,31 +8,88 @@ constant environment term (reference: mitsuba/src/emitters/constant.cpp).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import warp
 from ..core.frame import normalize
 
 
+def sample_env(scene, u2: jnp.ndarray):
+    """Importance-sample the equirect envmap by luminance
+    (reference: src/emitters/envmap.cpp sampleDirection via 2-D CDF).
+
+    Returns (d_world [N,3], radiance [N,3], pdf_solid_angle [N]).
+    """
+    he, we = scene.env_pdf.shape
+    row = jnp.clip(jnp.searchsorted(scene.env_row_cdf, u2[..., 0]), 0, he - 1)
+    col = jnp.clip(
+        jax.vmap(jnp.searchsorted)(scene.env_col_cdf[row], u2[..., 1]), 0, we - 1
+    )
+    theta = (row.astype(jnp.float32) + 0.5) * (jnp.pi / he)
+    phi = ((col.astype(jnp.float32) + 0.5) / we - 0.5) * (2.0 * jnp.pi)
+    st = jnp.sin(theta)
+    # Inverse of env_eval's direction->uv mapping.
+    dl = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1)
+    d = jnp.einsum("ij,...j->...i", scene.env_to_world, dl)
+    rad = scene.env_map[row, col] * scene.env_radiance
+    return d, rad, scene.env_pdf[row, col]
+
+
+def pdf_env_dir(scene, d: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of sampling direction d from the envmap CDF
+    (for MIS weighting of BSDF-sampled escape rays)."""
+    if scene.env_pdf.shape[0] <= 1:
+        return jnp.zeros(d.shape[:-1])
+    dl = jnp.einsum("ji,...j->...i", scene.env_to_world, d)
+    he, we = scene.env_pdf.shape
+    u = 0.5 + jnp.arctan2(dl[..., 0], -dl[..., 2]) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(dl[..., 1], -1.0, 1.0)) / jnp.pi
+    x = jnp.clip(((u % 1.0) * we).astype(jnp.int32), 0, we - 1)
+    y = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
+    return scene.env_pdf[y, x]
+
+
 def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
-    """Direct-illumination sample (area triangles + point lights).
+    """Direct-illumination sample (area triangles + delta lights + envmap).
 
     p: [N, 3] reference points; u1: [N]; u2: [N, 2]. The record's
     ``radiance`` already folds distance falloff for delta lights; ``pdf``
-    is solid-angle for area samples and the discrete selection pmf for
+    is solid-angle for area/env samples and the discrete selection pmf for
     delta lights (``delta`` marks them; MIS weight must be 1 there).
     """
     n_rays = p.shape[0]
     m = scene.em_tri_idx.shape[0]
     n_pt = scene.pt_pos.shape[0]
+    has_env = scene.env_pdf.shape[0] > 1
     zero = {
         "d": jnp.zeros_like(p), "dist": jnp.zeros(n_rays), "pdf": jnp.zeros(n_rays),
         "radiance": jnp.zeros_like(p), "n": jnp.zeros_like(p),
         "valid": jnp.zeros(n_rays, dtype=bool),
         "delta": jnp.zeros(n_rays, dtype=bool),
     }
-    if m == 0 and n_pt == 0:
+    if m == 0 and n_pt == 0 and not has_env:
         return zero
+
+    # Envmap branch: route env_select_prob of samples to the envmap CDF;
+    # remaining probability is split between delta and area lights below.
+    if has_env:
+        env_prob = scene.env_select_prob
+        pick_env = u1 < env_prob
+        u1 = jnp.where(pick_env, u1 / jnp.maximum(env_prob, 1e-9),
+                       (u1 - env_prob) / jnp.maximum(1.0 - env_prob, 1e-9))
+        d_env, rad_env, pdf_env = sample_env(scene, u2)
+        rec_env = {
+            "d": d_env, "dist": jnp.full(n_rays, 1e7),
+            "pdf": pdf_env * env_prob,
+            "radiance": rad_env, "n": -d_env,
+            "valid": pdf_env > 0.0,
+            "delta": jnp.zeros(n_rays, dtype=bool),
+        }
+    else:
+        env_prob = jnp.float32(0.0)
+        pick_env = jnp.zeros(n_rays, dtype=bool)
+        rec_env = zero
 
     rec = dict(zero)
     if n_pt:
@@ -63,7 +120,8 @@ def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         fall = jnp.clip((cos_sp - co) / jnp.maximum(cb - co, 1e-6), 0.0, 1.0)
         fall = jnp.where(kind == 1, fall, 1.0)
         rad_pt = scene.pt_intensity[sel_pt] * (
-            inv_r2 * fall / (pmf_pt * jnp.maximum(pt_prob, 1e-9))
+            inv_r2 * fall
+            / (pmf_pt * jnp.maximum(pt_prob * (1.0 - env_prob), 1e-9))
         )[..., None]
         rec_pt = {
             "d": d_pt, "dist": dist, "pdf": jnp.ones(n_rays),
@@ -94,6 +152,7 @@ def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         pdf_sa = pdf_area * dist2 / jnp.maximum(cos_l, 1e-12)
         if n_pt:
             pdf_sa = pdf_sa * (1.0 - scene.pt_select_prob)
+        pdf_sa = pdf_sa * (1.0 - env_prob)
         valid = (cos_l > 1e-6) & (dist2 > 1e-12)
         rec_area = {
             "d": d, "dist": dist, "pdf": jnp.where(valid, pdf_sa, 0.0),
@@ -110,8 +169,10 @@ def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         a, b_ = rec_pt[k], rec_area[k]
         if a.ndim > 1:
             out[k] = jnp.where(pick_pt[..., None], a, b_)
+            out[k] = jnp.where(pick_env[..., None], rec_env[k], out[k])
         else:
             out[k] = jnp.where(pick_pt, a, b_)
+            out[k] = jnp.where(pick_env, rec_env[k], out[k])
     return out
 
 

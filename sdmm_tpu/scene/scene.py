@@ -68,6 +68,13 @@ class SceneData(NamedTuple):
     env_radiance: jnp.ndarray  # [3] constant environment / envmap scale
     env_map: jnp.ndarray  # [He, We, 3] equirect envmap ([1,1,3] zeros = none)
     env_to_world: jnp.ndarray  # [3, 3] envmap orientation
+    # Envmap NEE importance tables (reference: src/emitters/envmap.cpp
+    # builds a 2-D luminance CDF for sampleDirect). Row marginal CDF,
+    # per-row conditional column CDF, and per-pixel solid-angle pdf.
+    env_row_cdf: jnp.ndarray  # [He]
+    env_col_cdf: jnp.ndarray  # [He, We]
+    env_pdf: jnp.ndarray  # [He, We] pdf in solid angle
+    env_select_prob: jnp.ndarray  # [] NEE routing prob to the envmap
     # Global homogeneous medium (reference: src/medium/homogeneous.cpp;
     # zeros = vacuum). Per-shape interior media are future work.
     med_sigma_t: jnp.ndarray  # [3] extinction
@@ -146,6 +153,8 @@ class SceneBuilder:
     height: int = 256
     sample_count: int = 16
     seed: int = 1234
+    sampler: str = "independent"
+    rfilter: str = "box"
     max_depth: int = 10
     rr_depth: int = 10
     integrator: dict = field(default_factory=dict)
@@ -312,6 +321,52 @@ class SceneBuilder:
         else:
             stack = np.zeros((1, 1, 1, 3), np.float32)
 
+        # Envmap NEE tables: luminance x sin(theta) importance over the
+        # equirect grid (reference: envmap.cpp CDF construction). The
+        # solid-angle pdf of a pixel is lum * He * We / (2 pi^2 * total)
+        # -- the sin(theta) of the area element cancels the row weight.
+        if self.env_map is not None and self.env_map.shape[0] > 1:
+            he, we = self.env_map.shape[:2]
+            lum = np.maximum(luminance(self.env_map), 1e-12)
+            sin_t = np.sin((np.arange(he) + 0.5) * np.pi / he)
+            w2d = lum * sin_t[:, None]
+            total = w2d.sum()
+            row_w = w2d.sum(axis=1)
+            env_row_cdf = np.cumsum(row_w) / total
+            env_col_cdf = np.cumsum(w2d, axis=1) / np.maximum(
+                row_w[:, None], 1e-30
+            )
+            env_pdf = lum * (he * we) / (2.0 * np.pi * np.pi * total)
+            scale_lum = max(
+                luminance(
+                    self.env_radiance
+                    if self.env_radiance is not None
+                    else np.ones(3)
+                ),
+                1e-12,
+            )
+            # Relative power vs area + delta lights; scene bounding-sphere
+            # radius sets the envmap's effective collection area.
+            radius = float(
+                np.linalg.norm(aabb.hi - aabb.lo) * 0.5 if len(verts) else 1.0
+            )
+            mean_rad = float(total / max(sin_t.sum() * we, 1e-30))
+            env_power = 4.0 * np.pi ** 2 * mean_rad * scale_lum * max(radius, 1e-3) ** 2
+            pt_power_total = sum(
+                4.0 * np.pi * luminance(l["intensity"]) for l in self.point_lights
+            )
+            env_select = env_power / max(
+                env_power + area_power_total + pt_power_total, 1e-30
+            )
+            env_select = float(np.clip(env_select, 0.1, 0.9)) if (
+                area_power_total > 0 or pt_power_total > 0
+            ) else 1.0
+        else:
+            env_row_cdf = np.ones(1)
+            env_col_cdf = np.ones((1, 1))
+            env_pdf = np.zeros((1, 1))
+            env_select = 0.0
+
         # Kernel-native transposed/padded triangle layout.
         from ..ops.intersect_pallas import TRI_CHUNK
 
@@ -354,6 +409,10 @@ class SceneBuilder:
                 self.env_map if self.env_map is not None else np.zeros((1, 1, 3))
             ),
             env_to_world=f32(self.env_to_world),
+            env_row_cdf=f32(env_row_cdf),
+            env_col_cdf=f32(env_col_cdf),
+            env_pdf=f32(env_pdf),
+            env_select_prob=f32(env_select),
             pt_pos=f32(np.asarray([l["pos"] for l in self.point_lights]).reshape(-1, 3)),
             pt_intensity=f32(
                 np.asarray([l["intensity"] for l in self.point_lights]).reshape(-1, 3)

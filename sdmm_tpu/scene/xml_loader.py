@@ -282,10 +282,25 @@ class XMLLoader:
                 fp = _props(sub, self.variables)
                 width = int(fp.get("width", 256))
                 height = int(fp.get("height", 256))
+                for fsub in sub:
+                    if fsub.tag == "rfilter":
+                        rf = _subst(fsub.get("type", "box"), self.variables)
+                        # Reference rfilter plugin names (src/rfilters/).
+                        self.builder.rfilter = {
+                            "box": "box", "tent": "tent", "gaussian": "gaussian",
+                            "mitchell": "mitchell", "catmullrom": "catmullrom",
+                            "lanczos": "lanczos",
+                        }.get(rf, "box")
             elif sub.tag == "sampler":
                 sp = _props(sub, self.variables)
                 self.builder.sample_count = int(sp.get("sampleCount", 16))
                 self.builder.seed = int(sp.get("seed", 1234))
+                st = _subst(sub.get("type", "independent"), self.variables)
+                self.builder.sampler = {
+                    "independent": "independent", "stratified": "stratified",
+                    "halton": "halton", "hammersley": "halton",
+                    "ldsampler": "halton", "sobol": "sobol",
+                }.get(st, "independent")
         self.builder.set_sensor(
             to_world=p.get("toWorld", np.eye(4)),
             fov_deg=float(p.get("fov", 45.0)),
