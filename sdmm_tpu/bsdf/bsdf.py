@@ -21,15 +21,18 @@ from ..core import warp
 from ..core.frame import reflect, normalize
 from ..core.spectrum import luminance
 from ..scene.scene import (
+    BSDF_BLEND,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
+    BSDF_MASK,
     BSDF_NULL,
     BSDF_PHONG,
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
     BSDF_ROUGHDIELECTRIC,
     BSDF_ROUGHPLASTIC,
+    BSDF_WARD,
 )
 from . import microfacet as mf
 from .fresnel import fresnel_conductor, fresnel_dielectric
@@ -55,13 +58,8 @@ def _fresnel_diffuse_reflectance(eta):
     )
 
 
-def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None) -> dict:
-    """Gather per-ray BSDF parameters from the scene table.
-
-    When ``uv`` is given and the BSDF carries a texture id, the albedo is
-    replaced by a bilinear texture lookup (reference: bitmap texture
-    plugin, mitsuba/src/textures/bitmap.cpp).
-    """
+def _gather_raw(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None) -> dict:
+    """Gather one row of per-ray BSDF parameters (no child resolution)."""
     albedo = scene.bsdf_albedo[bsdf_idx]
     if uv is not None and scene.textures.shape[1] > 1:
         tex_id = scene.bsdf_tex[bsdf_idx]
@@ -75,10 +73,65 @@ def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None) -
         "albedo": albedo,
         "specular": scene.bsdf_specular[bsdf_idx],
         "alpha": scene.bsdf_alpha[bsdf_idx],
+        "alpha_v": scene.bsdf_alpha_v[bsdf_idx],
         "eta": scene.bsdf_eta[bsdf_idx],
         "k": scene.bsdf_k[bsdf_idx],
         "exponent": scene.bsdf_exponent[bsdf_idx],
     }
+
+
+def _where_params(mask, a: dict, b: dict) -> dict:
+    """Per-field select between two parameter dicts (keys missing from ``a``
+    pass through from ``b``)."""
+    out = {}
+    for k in b:
+        if k not in a:
+            out[k] = b[k]
+            continue
+        av, bv = a[k], b[k]
+        out[k] = jnp.where(mask[..., None] if bv.ndim > mask.ndim else mask, av, bv)
+    return out
+
+
+def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None,
+                  types: tuple | None = None) -> dict:
+    """Gather per-ray BSDF parameters from the scene table.
+
+    When ``uv`` is given and the BSDF carries a texture id, the albedo is
+    replaced by a bilinear texture lookup (reference: bitmap texture
+    plugin, mitsuba/src/textures/bitmap.cpp).
+
+    Container BSDFs are resolved here (reference: bsdfs/{mask,blendbsdf}.cpp
+    forward to nested BSDFs): a ``mask`` row substitutes its child's
+    parameters and records the opacity; a ``blend`` row substitutes child0
+    and attaches child1's parameters + the blend factor. Children must be
+    plain (non-container) BSDFs. ``types`` (static) compiles the container
+    machinery out of scenes that lack it.
+    """
+
+    def has(code):
+        return types is None or code in types
+
+    p = _gather_raw(scene, bsdf_idx, uv)
+    if has(BSDF_MASK):
+        is_mask = p["type"] == BSDF_MASK
+        child = jnp.where(is_mask, scene.bsdf_child0[bsdf_idx], bsdf_idx)
+        c = _gather_raw(scene, jnp.maximum(child, 0), uv)
+        opacity = jnp.clip(p["albedo"], 0.0, 1.0)  # mask opacity lives in albedo
+        p = _where_params(is_mask, c, p)
+        p["is_mask"] = is_mask
+        p["opacity"] = jnp.where(is_mask[..., None], opacity, 1.0)
+    if has(BSDF_BLEND):
+        is_blend = p["type"] == BSDF_BLEND
+        c0 = jnp.where(is_blend, scene.bsdf_child0[bsdf_idx], bsdf_idx)
+        c1 = jnp.where(is_blend, scene.bsdf_child1[bsdf_idx], bsdf_idx)
+        pa = _gather_raw(scene, jnp.maximum(c0, 0), uv)
+        pb = _gather_raw(scene, jnp.maximum(c1, 0), uv)
+        p = _where_params(is_blend, pa, p)
+        p["is_blend"] = is_blend
+        p["blend_b"] = pb
+        p["blend_w"] = jnp.where(is_blend, scene.bsdf_weight[bsdf_idx], 0.0)
+    return p
 
 
 def sample_texture(textures: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray):
@@ -109,8 +162,15 @@ def sample_texture(textures: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray):
 
 def is_delta_only(params: dict) -> jnp.ndarray:
     """True where the BSDF has only delta lobes (no smooth component)."""
-    t = params["type"]
-    return (t == BSDF_CONDUCTOR) | (t == BSDF_DIELECTRIC) | (t == BSDF_NULL)
+
+    def _delta(t):
+        return (t == BSDF_CONDUCTOR) | (t == BSDF_DIELECTRIC) | (t == BSDF_NULL)
+
+    d = _delta(params["type"])
+    if "blend_b" in params:
+        # A blend is smooth if either child is.
+        d = jnp.where(params["is_blend"], d & _delta(params["blend_b"]["type"]), d)
+    return d
 
 
 def has_smooth(params: dict) -> jnp.ndarray:
@@ -152,6 +212,50 @@ def _plastic_diffuse(params, cos_i, cos_o):
         / jnp.maximum(denom, 1e-6)
     )
     return f
+
+
+def _ward_half_pdf(params, h):
+    """Ward half-vector density over the hemisphere (normalized):
+    exp(-tan^2 θ_h (cos^2 φ/αu^2 + sin^2 φ/αv^2)) / (π αu αv cos^3 θ_h)."""
+    au = params["alpha"]
+    av = params["alpha_v"]
+    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    expo = -(
+        (h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2
+    ) / hz2
+    cos3 = jnp.maximum(h[..., 2], 1e-6) ** 3
+    return jnp.exp(expo) / (jnp.pi * au * av * cos3)
+
+
+def _ward_lobe_probs(params):
+    kd = luminance(params["albedo"])
+    ks = luminance(params["specular"])
+    total = jnp.maximum(kd + ks, 1e-12)
+    return kd / total, ks / total
+
+
+def _eval_pdf_ward(params, wi, wo, pdf_diff):
+    """Anisotropic Ward BRDF (reference: bsdfs/ward.cpp, 'ward' variant):
+    f_spec = ks · exp(·)/(4π αu αv sqrt(cos_i cos_o))."""
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    h = normalize(wi + wo)
+    au = params["alpha"]
+    av = params["alpha_v"]
+    hz2 = jnp.maximum(h[..., 2] * h[..., 2], 1e-12)
+    expo = -((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) / hz2
+    denom = 4.0 * jnp.pi * au * av * jnp.sqrt(jnp.maximum(cos_i * cos_o, 1e-12))
+    spec = jnp.exp(expo) / denom
+    f = (
+        params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        + params["specular"] * (spec * jnp.maximum(cos_o, 0.0))[..., None]
+    )
+    p_d, p_s = _ward_lobe_probs(params)
+    pdf_spec = _ward_half_pdf(params, h) / jnp.maximum(
+        4.0 * jnp.abs(jnp.sum(h * wo, axis=-1)), 1e-12
+    )
+    pdf = p_d * pdf_diff + p_s * pdf_spec
+    return f, pdf
 
 
 def _eval_pdf_roughdielectric(params, wi, wo):
@@ -242,9 +346,17 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
     sels_f: list = []
     sels_p: list = []
 
-    need_cosine = has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_ROUGHPLASTIC) or has(BSDF_PLASTIC)
+    need_cosine = (
+        has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_ROUGHPLASTIC)
+        or has(BSDF_PLASTIC) or has(BSDF_WARD)
+    )
     if need_cosine:
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+
+    if has(BSDF_WARD):
+        f_w, pdf_w = _eval_pdf_ward(params, wi, wo, pdf_diff)
+        sels_f.append((BSDF_WARD, f_w))
+        sels_p.append((BSDF_WARD, pdf_w))
 
     if has(BSDF_DIFFUSE):
         # Diffuse (reference: bsdfs/diffuse.cpp).
@@ -356,7 +468,7 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
 
     need_cosine = (
         has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_PLASTIC)
-        or has(BSDF_ROUGHPLASTIC)
+        or has(BSDF_ROUGHPLASTIC) or has(BSDF_WARD)
     )
     if need_cosine:
         wo_diff = warp.square_to_cosine_hemisphere(u2)
@@ -441,6 +553,38 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         wo_sel.append((BSDF_PHONG, wo_ph))
         w_sel.append((BSDF_PHONG, w_ph))
         pdf_sel.append((BSDF_PHONG, pdf_ph))
+
+    if has(BSDF_WARD):
+        # Ward half-vector sampling (reference: bsdfs/ward.cpp sample):
+        # φ_h from the anisotropic azimuth warp, tan²θ_h ~ Exp(k(φ)).
+        p_d_w, p_s_w = _ward_lobe_probs(params)
+        pick_spec_w = u1 >= p_d_w
+        au = params["alpha"]
+        av_ = params["alpha_v"]
+        phi = jnp.arctan2(
+            av_ * jnp.sin(2.0 * jnp.pi * u2[..., 1]),
+            au * jnp.cos(2.0 * jnp.pi * u2[..., 1]),
+        )
+        cp = jnp.cos(phi)
+        sp = jnp.sin(phi)
+        kphi = cp * cp / (au * au) + sp * sp / (av_ * av_)
+        tan2t = -jnp.log(jnp.maximum(u2[..., 0], 1e-9)) / jnp.maximum(kphi, 1e-12)
+        cos_t = 1.0 / jnp.sqrt(1.0 + tan2t)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        h_w = jnp.stack([sin_t * cp, sin_t * sp, cos_t], axis=-1)
+        wo_w_spec = 2.0 * jnp.sum(wi * h_w, axis=-1, keepdims=True) * h_w - wi
+        wo_w = jnp.where(pick_spec_w[..., None], wo_w_spec, wo_diff)
+        f_w_s, pdf_w_s = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_WARD)}, wi, wo_w,
+            types=(BSDF_WARD,),
+        )
+        w_w = jnp.where(
+            (pdf_w_s > 0.0)[..., None],
+            f_w_s / jnp.maximum(pdf_w_s, 1e-20)[..., None], 0.0,
+        )
+        wo_sel.append((BSDF_WARD, wo_w))
+        w_sel.append((BSDF_WARD, w_w))
+        pdf_sel.append((BSDF_WARD, pdf_w_s))
 
     if has(BSDF_ROUGHDIELECTRIC):
         # Walter + VNDF; see the eval for conventions. All signed cosines are
@@ -542,3 +686,105 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)
     return {"wo": wo, "weight": weight, "pdf": pdf, "delta": delta, "eta": eta}
+
+
+def _strip_container(params: dict) -> dict:
+    return {k: v for k, v in params.items()
+            if k not in ("is_mask", "opacity", "is_blend", "blend_b", "blend_w")}
+
+
+def eval_pdf_full(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
+                  types: tuple | None = None):
+    """eval_pdf with container resolution (mask opacity, blend mixture).
+
+    For blend rows ``params`` carries child0 (substituted by gather_params)
+    and ``blend_b``/``blend_w``: f = (1-w)·f0 + w·f1 and the pdf is the
+    matching mixture (reference: bsdfs/blendbsdf.cpp eval/pdf). For mask
+    rows the smooth part is opacity-scaled and the pdf carries the child
+    selection probability (reference: bsdfs/mask.cpp).
+    """
+    core = _strip_container(params)
+    f, pdf = eval_pdf(core, wi, wo, types=types)
+    if "blend_b" in params:
+        f1, p1 = eval_pdf(params["blend_b"], wi, wo, types=types)
+        w = params["blend_w"]
+        is_b = params["is_blend"]
+        f = jnp.where(is_b[..., None], (1.0 - w)[..., None] * f + w[..., None] * f1, f)
+        pdf = jnp.where(is_b, (1.0 - w) * pdf + w * p1, pdf)
+    if "opacity" in params:
+        op = params["opacity"]
+        p_op = jnp.clip(luminance(op), 1e-3, 1.0)
+        is_m = params["is_mask"]
+        f = jnp.where(is_m[..., None], op * f, f)
+        pdf = jnp.where(is_m, p_op * pdf, pdf)
+    return f, pdf
+
+
+def sample_full(params: dict, wi: jnp.ndarray, u0: jnp.ndarray,
+                u1: jnp.ndarray, u2: jnp.ndarray,
+                types: tuple | None = None):
+    """sample with container resolution.
+
+    ``u0`` selects the container branch: blend child (prob = blend factor)
+    or mask pass-through (prob = 1 - mean opacity). Smooth blend samples are
+    re-weighted by the full mixture (one-sample MIS over children, as the
+    reference's blendbsdf.cpp sample); delta child samples keep the child
+    weight with the selection pmf folded into the pdf.
+    """
+    core = _strip_container(params)
+    has_blend = "blend_b" in params
+    has_mask = "opacity" in params
+    if not has_blend and not has_mask:
+        return sample(core, wi, u1, u2, types=types)
+
+    if has_blend:
+        w = params["blend_w"]
+        is_b = params["is_blend"]
+        pick1 = is_b & (u0 < w)
+        core_sel = _where_params(pick1, params["blend_b"], core)
+    else:
+        core_sel = core
+        is_b = jnp.zeros(u1.shape, dtype=bool)
+        pick1 = is_b
+        w = jnp.zeros(u1.shape)
+
+    bs = sample(core_sel, wi, u1, u2, types=types)
+
+    if has_blend:
+        # Smooth samples: re-evaluate against the full mixture.
+        f_mix, pdf_mix = eval_pdf_full(params, wi, bs["wo"], types=types)
+        smooth_b = is_b & ~bs["delta"]
+        new_w = jnp.where(
+            (pdf_mix > 0.0)[..., None],
+            f_mix / jnp.maximum(pdf_mix, 1e-20)[..., None], 0.0,
+        )
+        bs["weight"] = jnp.where(smooth_b[..., None], new_w, bs["weight"])
+        bs["pdf"] = jnp.where(smooth_b, pdf_mix, bs["pdf"])
+        # Delta child: selection pmf folds into the pdf; weight already
+        # cancels (selection prob == blend factor).
+        sel_p = jnp.where(pick1, w, 1.0 - w)
+        bs["pdf"] = jnp.where(is_b & bs["delta"], sel_p * bs["pdf"], bs["pdf"])
+
+    if has_mask:
+        op = params["opacity"]
+        p_op = jnp.clip(luminance(op), 1e-3, 1.0)
+        is_m = params["is_mask"]
+        pass_thru = is_m & (u0 >= p_op)
+        # Child branch: weight × op/p_op, pdf × p_op.
+        bs["weight"] = jnp.where(
+            (is_m & ~pass_thru)[..., None],
+            bs["weight"] * (op / p_op[..., None]), bs["weight"],
+        )
+        bs["pdf"] = jnp.where(is_m & ~pass_thru, p_op * bs["pdf"], bs["pdf"])
+        # Pass-through: continue straight through the surface.
+        wo_pass = -wi
+        bs["wo"] = jnp.where(pass_thru[..., None], wo_pass, bs["wo"])
+        bs["weight"] = jnp.where(
+            pass_thru[..., None],
+            (1.0 - op) / jnp.maximum(1.0 - p_op, 1e-3)[..., None],
+            bs["weight"],
+        )
+        bs["pdf"] = jnp.where(pass_thru, 1.0 - p_op, bs["pdf"])
+        bs["delta"] = bs["delta"] | pass_thru
+        bs["eta"] = jnp.where(pass_thru, 1.0, bs["eta"])
+    return bs

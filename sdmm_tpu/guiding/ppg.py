@@ -104,7 +104,7 @@ def trace_wave_ppg(
         )
         active = active & hit["valid"]
 
-        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
         wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
@@ -121,7 +121,8 @@ def trace_wave_ppg(
         take_bsdf = (jax.random.uniform(k_sel, (n,)) < h) | ~guide_ok
         u1 = jax.random.uniform(k_b1, (n,))
         u2 = jax.random.uniform(k_b2, (n, 2))
-        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
+        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n,))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
         d_guide = histogram_sample(hist_g, k_g)
         wo_world = jnp.where(
             take_bsdf[..., None], to_world(s_ax, t_ax, n_ax, bs["wo"]), d_guide
@@ -131,7 +132,7 @@ def trace_wave_ppg(
         )
         sampled_delta = take_bsdf & bs["delta"]
 
-        f_eval, bsdf_pdf = bsdf_mod.eval_pdf(params, wi_local, wo_local, types=bsdf_types)
+        f_eval, bsdf_pdf = bsdf_mod.eval_pdf_full(params, wi_local, wo_local, types=bsdf_types)
         g_pdf = jnp.where(guide_ok, histogram_pdf(hist_g, wo_world), 0.0)
         mis_pdf = h * bsdf_pdf + (1.0 - h) * g_pdf
         w_smooth = f_eval / jnp.maximum(mis_pdf, 1e-20)[..., None]

@@ -97,7 +97,7 @@ def trace_wave_guided(
         )
         active = active & hit["valid"]
 
-        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
         wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
@@ -139,7 +139,8 @@ def trace_wave_guided(
         # Branch A: BSDF importance sampling.
         u1 = jax.random.uniform(k_b1, (n,))
         u2 = jax.random.uniform(k_b2, (n, 2))
-        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
+        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n,))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
 
         # Branch B: mixture directional sampling (world space).
         d_guide, g_ok = mix.conditional_sample(cond, k_g)
@@ -157,7 +158,7 @@ def trace_wave_guided(
 
         # Combined pdf for non-delta samples: h·bsdfPdf + (1−h)·gmmPdf
         # (pdfSurface, sdmm_proc.cpp:587-589).
-        f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf(params, wi_local, wo_local, types=bsdf_types)
+        f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf_full(params, wi_local, wo_local, types=bsdf_types)
         gmm_pdf = jnp.where(guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
         if prod is not None:
             prod_pdf = mix.conditional_pdf(prod, wo_world)

@@ -131,7 +131,7 @@ def trace_wave(
         active = active & (hit["valid"] | scattered)
         n_shaded = jnp.sum(active.astype(jnp.int32))
 
-        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"])
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
 
@@ -148,7 +148,7 @@ def trace_wave(
             u2 = jax.random.uniform(jax.random.fold_in(k_nee, 1), (n, 2))
             ls = emitters.sample_direct(scene, it["p"], u1, u2)
             wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
-            f, pdf_b = bsdf_mod.eval_pdf(params, wi_local, wo_l, types=bsdf_types)
+            f, pdf_b = bsdf_mod.eval_pdf_full(params, wi_local, wo_l, types=bsdf_types)
             smooth = bsdf_mod.has_smooth(params)
             cand = on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
             shadow_o = it["p"] + it["ng"] * jnp.where(
@@ -195,9 +195,10 @@ def trace_wave(
             d_med, pdf_med_dir = med.hg_sample(scene.med_g, rd, u_ph)
 
         # --- BSDF sampling ---
+        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 1), (n,))
         u1 = jax.random.uniform(k_b1, (n,))
         u2 = jax.random.uniform(k_b2, (n, 2))
-        bs = bsdf_mod.sample(params, wi_local, u1, u2, types=bsdf_types)
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
         wo_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
         # Strict normals on the outgoing side.
         wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)

@@ -33,6 +33,9 @@ BSDF_ROUGHPLASTIC = 5
 BSDF_ROUGHDIELECTRIC = 6
 BSDF_NULL = 7
 BSDF_PLASTIC = 8
+BSDF_WARD = 9  # anisotropic glossy (reference: bsdfs/ward.cpp)
+BSDF_BLEND = 10  # two-child mixture (reference: bsdfs/blendbsdf.cpp)
+BSDF_MASK = 11  # opacity mask over a child (reference: bsdfs/mask.cpp)
 
 DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
 
@@ -58,6 +61,10 @@ class SceneData(NamedTuple):
     bsdf_k: jnp.ndarray  # [B, 3] conductor absorption
     bsdf_exponent: jnp.ndarray  # [B] phong exponent
     bsdf_tex: jnp.ndarray  # [B] int32 texture id for albedo (-1 = none)
+    bsdf_alpha_v: jnp.ndarray  # [B] second roughness axis (ward)
+    bsdf_child0: jnp.ndarray  # [B] int32 child BSDF id (blend/mask; -1 = none)
+    bsdf_child1: jnp.ndarray  # [B] int32 second child (blend)
+    bsdf_weight: jnp.ndarray  # [B] blend factor toward child1
     textures: jnp.ndarray  # [NT, R, R, 3] resampled texture stack
     # Emitters.
     emitter_radiance: jnp.ndarray  # [E, 3]
@@ -169,6 +176,10 @@ class SceneBuilder:
             eta=float(params.get("eta", 1.5046)),
             k=np.asarray(params.get("k", [0.0, 0.0, 0.0]), dtype=np.float64),
             exponent=float(params.get("exponent", 30.0)),
+            alpha_v=float(params.get("alpha_v", params.get("alpha", 0.1))),
+            child0=int(params.get("child0", -1)),
+            child1=int(params.get("child1", -1)),
+            weight=float(params.get("weight", 0.5)),
         )
         self.bsdfs.append(entry)
         idx = len(self.bsdfs) - 1
@@ -399,6 +410,10 @@ class SceneBuilder:
             bsdf_k=f32([b["k"] for b in self.bsdfs]),
             bsdf_exponent=f32([b["exponent"] for b in self.bsdfs]),
             bsdf_tex=i32([b.get("tex", -1) for b in self.bsdfs]),
+            bsdf_alpha_v=f32([b.get("alpha_v", b["alpha"]) for b in self.bsdfs]),
+            bsdf_child0=i32([b.get("child0", -1) for b in self.bsdfs]),
+            bsdf_child1=i32([b.get("child1", -1) for b in self.bsdfs]),
+            bsdf_weight=f32([b.get("weight", 0.5) for b in self.bsdfs]),
             textures=f32(stack),
             emitter_radiance=f32(np.asarray(self.emitters).reshape(-1, 3))
             if self.emitters else f32(np.zeros((1, 3))),

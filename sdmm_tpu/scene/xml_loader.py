@@ -20,14 +20,17 @@ import numpy as np
 from ..core.spectrum import interpolated_spectrum_to_rgb
 from . import shapes as shp
 from .scene import (
+    BSDF_BLEND,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFUSE,
+    BSDF_MASK,
     BSDF_PHONG,
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
     BSDF_ROUGHDIELECTRIC,
     BSDF_ROUGHPLASTIC,
+    BSDF_WARD,
     SceneBuilder,
 )
 
@@ -321,6 +324,20 @@ class XMLLoader:
             if name is not None:
                 self.builder.bsdf_ids[name] = idx
             return idx
+        if btype == "blendbsdf":
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            c0 = self._bsdf(children[0]) if len(children) > 0 else self.builder.add_bsdf(BSDF_DIFFUSE)
+            c1 = self._bsdf(children[1]) if len(children) > 1 else c0
+            return self.builder.add_bsdf(
+                BSDF_BLEND, name=name, child0=c0, child1=c1,
+                weight=float(p.get("weight", 0.5)),
+            )
+        if btype == "mask":
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            c0 = self._bsdf(children[0]) if children else self.builder.add_bsdf(BSDF_DIFFUSE)
+            op = np.asarray(p.get("opacity", np.full(3, 0.5))).reshape(-1)
+            op = np.broadcast_to(op, (3,))
+            return self.builder.add_bsdf(BSDF_MASK, name=name, child0=c0, albedo=op)
         kwargs = {}
         tex_id = self._bsdf_texture(el)
         if tex_id >= 0:
@@ -355,6 +372,12 @@ class XMLLoader:
             kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
             kwargs["specular"] = p.get("specularReflectance", np.full(3, 0.2))
             kwargs["exponent"] = float(p.get("exponent", 30.0))
+        elif btype == "ward":
+            code = BSDF_WARD
+            kwargs["albedo"] = p.get("diffuseReflectance", np.full(3, 0.5))
+            kwargs["specular"] = p.get("specularReflectance", np.full(3, 0.2))
+            kwargs["alpha"] = float(p.get("alphaU", p.get("alpha", 0.1)))
+            kwargs["alpha_v"] = float(p.get("alphaV", p.get("alpha", 0.1)))
         elif btype in ("roughplastic", "plastic"):
             int_ior = p.get("intIOR", "polypropylene")
             ext_ior = p.get("extIOR", "air")

@@ -19,6 +19,7 @@ from sdmm_tpu.scene.scene import (
     BSDF_ROUGHCONDUCTOR,
     BSDF_ROUGHDIELECTRIC,
     BSDF_ROUGHPLASTIC,
+    BSDF_WARD,
 )
 from sdmm_tpu.utils.chisquare import chi2_test
 
@@ -32,6 +33,7 @@ def make_params(btype, n, **over):
         "eta": jnp.full((n,), over.get("eta", 1.5)),
         "k": jnp.tile(jnp.asarray(over.get("k", [3.9, 2.45, 2.14])), (n, 1)),
         "exponent": jnp.full((n,), over.get("exponent", 30.0)),
+        "alpha_v": jnp.full((n,), over.get("alpha_v", over.get("alpha", 0.3))),
     }
     return base
 
@@ -77,6 +79,8 @@ WI_ANGLES = [
     (BSDF_ROUGHPLASTIC, {"alpha": 0.25}),
     (BSDF_PLASTIC, {}),
     (BSDF_ROUGHDIELECTRIC, {"alpha": 0.3}),
+    (BSDF_WARD, {"alpha": 0.2, "alpha_v": 0.45}),
+    (BSDF_WARD, {"alpha": 0.35, "alpha_v": 0.35}),
 ])
 def test_bsdf_chi2(btype, over):
     wi = np.asarray(WI_ANGLES[1])
