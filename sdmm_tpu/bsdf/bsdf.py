@@ -479,6 +479,17 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         w_sel.append((BSDF_DIFFUSE, params["albedo"]))
         pdf_sel.append((BSDF_DIFFUSE, pdf_diff))
 
+    if has(BSDF_NULL):
+        # Null boundary: straight pass-through (reference: the 'null' BSDF
+        # used for medium-only shapes).
+        wo_sel.append((BSDF_NULL, -wi))
+        w_sel.append((BSDF_NULL, jnp.ones(wi.shape[:-1] + (3,))))
+        pdf_sel.append((BSDF_NULL, jnp.ones_like(cos_i)))
+        delta = delta | (t == BSDF_NULL)
+        passthrough = t == BSDF_NULL
+    else:
+        passthrough = jnp.zeros(cos_i.shape, dtype=bool)
+
     if has(BSDF_CONDUCTOR):
         wo_cond = reflect(wi)
         f_cond = fresnel_conductor(cos_i, params["eta"][..., None], params["k"])
@@ -685,7 +696,8 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     ok = jnp.where(needs_front, cos_i > 1e-6, True)
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)
-    return {"wo": wo, "weight": weight, "pdf": pdf, "delta": delta, "eta": eta}
+    return {"wo": wo, "weight": weight, "pdf": pdf, "delta": delta, "eta": eta,
+            "pass": passthrough}
 
 
 def _strip_container(params: dict) -> dict:
@@ -786,5 +798,6 @@ def sample_full(params: dict, wi: jnp.ndarray, u0: jnp.ndarray,
         )
         bs["pdf"] = jnp.where(pass_thru, 1.0 - p_op, bs["pdf"])
         bs["delta"] = bs["delta"] | pass_thru
+        bs["pass"] = bs["pass"] | pass_thru
         bs["eta"] = jnp.where(pass_thru, 1.0, bs["eta"])
     return bs

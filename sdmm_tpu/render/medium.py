@@ -1,9 +1,11 @@
-"""Homogeneous participating medium + Henyey-Greenstein phase function.
+"""Homogeneous media + Henyey-Greenstein phase function.
 
 TPU-native equivalent of the reference's medium/phase plugins
-(reference: mitsuba/src/medium/homogeneous.cpp, mitsuba/src/phase/hg.cpp)
-used by the volumetric path tracer. Distance sampling uses the mean
-extinction as the sampling density with per-channel transmittance
+(reference: mitsuba/src/medium/homogeneous.cpp, mitsuba/src/phase/hg.cpp).
+Media live in a table (row 0 = vacuum); each ray carries a medium id that
+switches at transmissive boundaries (reference: Shape interior/exterior
+medium pointers, include/mitsuba/render/shape.h). Distance sampling uses
+the mean extinction as the sampling density with per-channel transmittance
 reweighting; all functions are batched and differentiable.
 """
 
@@ -14,32 +16,53 @@ import jax.numpy as jnp
 from ..core.frame import coordinate_system, to_world
 
 
-def sample_distance(scene, u: jnp.ndarray, t_surf: jnp.ndarray):
-    """Sample a free-flight distance against mean extinction.
+def sample_distance(scene, med_id: jnp.ndarray, u: jnp.ndarray,
+                    t_surf: jnp.ndarray):
+    """Sample a free-flight distance against the per-ray mean extinction.
 
     Returns dict(t, scattered [bool], weight [N,3]) where weight is the
     per-channel transmittance / pdf ratio for the chosen event (medium
-    scatter at t, or reaching the surface at t_surf).
+    scatter at t, or reaching the surface at t_surf). Vacuum rows
+    (sigma_t = 0) never scatter and weigh 1.
     """
-    sigma_t = scene.med_sigma_t  # [3]
-    sigma_bar = jnp.maximum(jnp.mean(sigma_t), 1e-8)
-    t_med = -jnp.log1p(-jnp.minimum(u, 1.0 - 1e-7)) / sigma_bar
-    scattered = t_med < t_surf
+    sigma_t = scene.med_sigma_t[med_id]  # [N, 3]
+    sigma_bar = jnp.mean(sigma_t, axis=-1)  # [N]
+    in_medium = sigma_bar > 1e-12
+    sb = jnp.maximum(sigma_bar, 1e-8)
+    t_med = -jnp.log1p(-jnp.minimum(u, 1.0 - 1e-7)) / sb
+    scattered = in_medium & (t_med < t_surf)
     t = jnp.where(scattered, t_med, t_surf)
     # Medium event: weight = sigma_s·e^{-sigma_t t} / (sigma_bar·e^{-sigma_bar t})
-    tr = jnp.exp(-sigma_t[None, :] * t[:, None])
-    pdf_med = sigma_bar * jnp.exp(-sigma_bar * t)
-    pdf_surf = jnp.exp(-sigma_bar * t)
-    sigma_s = sigma_t * scene.med_albedo
-    w_med = sigma_s[None, :] * tr / jnp.maximum(pdf_med, 1e-30)[:, None]
+    tr = jnp.exp(-sigma_t * t[:, None])
+    pdf_med = sb * jnp.exp(-sb * t)
+    pdf_surf = jnp.exp(-sb * t)
+    sigma_s = sigma_t * scene.med_albedo[med_id]
+    w_med = sigma_s * tr / jnp.maximum(pdf_med, 1e-30)[:, None]
     w_surf = tr / jnp.maximum(pdf_surf, 1e-30)[:, None]
     weight = jnp.where(scattered[:, None], w_med, w_surf)
+    weight = jnp.where(in_medium[:, None], weight, 1.0)
     return {"t": t, "scattered": scattered, "weight": weight}
 
 
-def transmittance(scene, dist: jnp.ndarray) -> jnp.ndarray:
-    """e^{-sigma_t · d} per channel; [N] → [N,3]."""
-    return jnp.exp(-scene.med_sigma_t[None, :] * dist[:, None])
+def transmittance(scene, med_id: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """e^{-sigma_t · d} per channel along the ray's current medium.
+
+    Approximation: shadow rays attenuate through the *current* medium for
+    the whole segment; medium boundaries along the shadow path are not
+    marched (the reference's sampleAttenuatedEmitterDirect walks them)."""
+    return jnp.exp(-scene.med_sigma_t[med_id] * dist[:, None])
+
+
+def update_medium(scene, med_id, tri, wi_dot_geo, wo_dot_geo, crossed_mask):
+    """New medium id after a surface event: transmission through a boundary
+    switches to the triangle's interior (entering, wo·ng < 0) or exterior
+    (exiting). Reflection keeps the current medium."""
+    crossing = crossed_mask & (wi_dot_geo * wo_dot_geo < 0.0)
+    tri_safe = jnp.maximum(tri, 0)
+    inside = scene.tri_medium[tri_safe]
+    outside = scene.tri_medium_ext[tri_safe]
+    new_id = jnp.where(wo_dot_geo < 0.0, inside, outside)
+    return jnp.where(crossing, new_id, med_id)
 
 
 def hg_pdf(g, cos_theta):
@@ -48,9 +71,7 @@ def hg_pdf(g, cos_theta):
 
 
 def hg_sample(g, wi: jnp.ndarray, u: jnp.ndarray):
-    """Sample a direction around -wi? Convention: returns new propagation
-    direction given current direction ``wd`` (the ray direction), HG is
-    defined about the forward direction."""
+    """Sample a direction about the current propagation direction ``wi``."""
     g = jnp.broadcast_to(g, u[..., 0].shape)
     iso = jnp.abs(g) < 1e-3
     sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u[..., 0] + 1e-12)

@@ -43,10 +43,12 @@ def shading_frame(params, ns, wi_world):
     true normal for dielectrics.
     """
     cos_i = jnp.sum(ns * wi_world, axis=-1)
-    from ..scene.scene import BSDF_ROUGHDIELECTRIC
+    from ..scene.scene import BSDF_NULL, BSDF_ROUGHDIELECTRIC
 
-    transmissive = (params["type"] == BSDF_DIELECTRIC) | (
-        params["type"] == BSDF_ROUGHDIELECTRIC
+    transmissive = (
+        (params["type"] == BSDF_DIELECTRIC)
+        | (params["type"] == BSDF_ROUGHDIELECTRIC)
+        | (params["type"] == BSDF_NULL)
     )
     flip = (cos_i < 0.0) & ~transmissive
     n = jnp.where(flip[..., None], -ns, ns)
@@ -78,7 +80,7 @@ def trace_wave(
     pdf_over_area = emitters.tri_pdf_over_area(scene)
 
     def body(carry, inp):
-        (ro, rd, throughput, eta_sq, active, li, prev_pdf, prev_delta) = carry
+        (ro, rd, throughput, eta_sq, active, li, prev_pdf, prev_delta, med_id) = carry
         depth, k = inp
 
         hit = isect.intersect(scene, ro, rd)
@@ -92,7 +94,7 @@ def trace_wave(
 
             k, k_med = jax.random.split(k)
             u_m = jax.random.uniform(k_med, (n,))
-            ms = med.sample_distance(scene, u_m, hit["t"])
+            ms = med.sample_distance(scene, med_id, u_m, hit["t"])
             scattered = active & ms["scattered"]
             throughput = throughput * jnp.where(
                 active[..., None], ms["weight"], 1.0
@@ -136,8 +138,18 @@ def trace_wave(
         wi_local = to_local(s_ax, t_ax, n_ax, -rd)
 
         # Strict normals: kill paths where geometric/shading sides disagree.
+        # Pass-through surfaces (null boundaries, masks) are exempt: they
+        # legitimately see both sides (reference: mask/null have
+        # transmission lobes on either side).
         wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
-        on_surface = on_surface & ~((wi_dot_geo * wi_local[..., 2] < 0.0))
+        from ..scene.scene import BSDF_NULL as _NULL
+
+        cullable = params["type"] != _NULL
+        if "is_mask" in params:
+            cullable = cullable & ~params["is_mask"]
+        on_surface = on_surface & ~(
+            cullable & (wi_dot_geo * wi_local[..., 2] < 0.0)
+        )
         active = on_surface | scattered
 
         k_nee, k_b1, k_b2, k_rr = jax.random.split(k, 4)
@@ -164,11 +176,12 @@ def trace_wave(
                 * (w / jnp.maximum(ls["pdf"], 1e-20))[..., None]
             )
             if has_medium:
-                contrib = contrib * med.transmittance(scene, ls["dist"])
+                contrib = contrib * med.transmittance(scene, med_id, ls["dist"])
             li = li + jnp.where((cand & ~occ)[..., None], contrib, 0.0)
 
         # --- Medium interaction: NEE + phase sampling ---
         if has_medium:
+            g_ray = scene.med_g[med_id]
             p_med = ro + ms["t"][:, None] * rd
             k, k_mn, k_mp = jax.random.split(k, 3)
             if nee:
@@ -176,7 +189,7 @@ def trace_wave(
                 u2m = jax.random.uniform(jax.random.fold_in(k_mn, 1), (n, 2))
                 lsm = emitters.sample_direct(scene, p_med, u1m, u2m)
                 cosm = jnp.sum(rd * lsm["d"], axis=-1)
-                f_ph = med.hg_pdf(scene.med_g, cosm)
+                f_ph = med.hg_pdf(g_ray, cosm)
                 occ_m = isect.occluded(
                     scene, p_med, lsm["d"], lsm["dist"] * (1.0 - 1e-3)
                 )
@@ -186,13 +199,13 @@ def trace_wave(
                 contrib_m = (
                     throughput
                     * lsm["radiance"]
-                    * med.transmittance(scene, lsm["dist"])
+                    * med.transmittance(scene, med_id, lsm["dist"])
                     * (f_ph * w_m / jnp.maximum(lsm["pdf"], 1e-20))[..., None]
                 )
                 cand_m = scattered & lsm["valid"] & (lsm["pdf"] > 0.0)
                 li = li + jnp.where((cand_m & ~occ_m)[..., None], contrib_m, 0.0)
             u_ph = jax.random.uniform(k_mp, (n, 2))
-            d_med, pdf_med_dir = med.hg_sample(scene.med_g, rd, u_ph)
+            d_med, pdf_med_dir = med.hg_sample(g_ray, rd, u_ph)
 
         # --- BSDF sampling ---
         u0 = jax.random.uniform(jax.random.fold_in(k_b1, 1), (n,))
@@ -202,8 +215,8 @@ def trace_wave(
         wo_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
         # Strict normals on the outgoing side.
         wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)
-        good = jnp.any(bs["weight"] > 0.0, axis=-1) & ~(
-            (wo_dot_geo * bs["wo"][..., 2] <= 0.0)
+        good = jnp.any(bs["weight"] > 0.0, axis=-1) & (
+            bs["pass"] | ~(wo_dot_geo * bs["wo"][..., 2] <= 0.0)
         )
         active = (on_surface & good) | scattered
         throughput = throughput * jnp.where(
@@ -228,12 +241,19 @@ def trace_wave(
         next_pdf = bs["pdf"]
         next_delta = bs["delta"]
         if has_medium:
+            # Boundary crossing switches the ray's medium (reference:
+            # RadianceQueryRecord.medium updates in volpath.cpp).
+            med_id = med.update_medium(
+                scene, med_id, hit["tri"], wi_dot_geo, wo_dot_geo,
+                on_surface & active,
+            )
             ro_next = jnp.where(scattered[..., None], p_med, ro_next)
             wo_world = jnp.where(scattered[..., None], d_med, wo_world)
             next_pdf = jnp.where(scattered, pdf_med_dir, next_pdf)
             next_delta = jnp.where(scattered, False, next_delta)
         return (
-            (ro_next, wo_world, throughput, eta_sq, active, li, next_pdf, next_delta),
+            (ro_next, wo_world, throughput, eta_sq, active, li, next_pdf,
+             next_delta, med_id),
             n_shaded if count_vertices else None,
         )
 
@@ -247,6 +267,7 @@ def trace_wave(
         jnp.zeros((n, 3)),
         jnp.ones((n,)),
         jnp.ones((n,), dtype=bool),
+        jnp.full((n,), scene.ambient_med, dtype=jnp.int32),
     )
     depths = jnp.arange(max_depth, dtype=jnp.int32)
     carry, ys = jax.lax.scan(body, init, (depths, keys))

@@ -82,11 +82,16 @@ class SceneData(NamedTuple):
     env_col_cdf: jnp.ndarray  # [He, We]
     env_pdf: jnp.ndarray  # [He, We] pdf in solid angle
     env_select_prob: jnp.ndarray  # [] NEE routing prob to the envmap
-    # Global homogeneous medium (reference: src/medium/homogeneous.cpp;
-    # zeros = vacuum). Per-shape interior media are future work.
-    med_sigma_t: jnp.ndarray  # [3] extinction
-    med_albedo: jnp.ndarray  # [3] single-scattering albedo sigma_s/sigma_t
-    med_g: jnp.ndarray  # [] Henyey-Greenstein anisotropy
+    # Homogeneous medium table (reference: src/medium/homogeneous.cpp).
+    # Row 0 is vacuum; further rows come from scene-level or per-shape
+    # media. Rays carry a medium id; boundaries switch it (reference:
+    # Shape interior/exterior medium pointers, render/shape.h).
+    med_sigma_t: jnp.ndarray  # [M, 3] extinction
+    med_albedo: jnp.ndarray  # [M, 3] single-scattering albedo sigma_s/sigma_t
+    med_g: jnp.ndarray  # [M] Henyey-Greenstein anisotropy
+    tri_medium: jnp.ndarray  # [T] int32 interior medium id (0 = vacuum)
+    tri_medium_ext: jnp.ndarray  # [T] int32 exterior medium id
+    ambient_med: jnp.ndarray  # [] int32 camera/ambient medium id
     # Delta lights: point / spot / directional (reference:
     # src/emitters/{point,spot,directional}.cpp). kind: 0=point, 1=spot,
     # 2=directional (pos holds the direction TOWARD the light).
@@ -152,7 +157,8 @@ class SceneBuilder:
     env_radiance: np.ndarray | None = None
     env_map: np.ndarray | None = None  # [He, We, 3]
     env_to_world: np.ndarray = field(default_factory=lambda: np.eye(3))
-    medium: dict | None = None  # {"sigma_t": [3], "albedo": [3], "g": float}
+    medium: dict | None = None  # ambient {"sigma_t": [3], "albedo": [3], "g": float}
+    media: list = field(default_factory=list)  # per-shape medium rows
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     fov_deg: float = 45.0
     fov_axis: str = "x"
@@ -225,8 +231,21 @@ class SceneBuilder:
             "dir": d / np.linalg.norm(d), "cutoff": 180.0, "beam": 180.0,
         })
 
-    def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1):
-        self.soups.append((soup, bsdf, emitter))
+    def add_medium(self, sigma_t, albedo=None, g: float = 0.0) -> int:
+        """Register a homogeneous medium; returns its table id (≥ 1)."""
+        self.media.append({
+            "sigma_t": np.asarray(sigma_t, dtype=np.float64).reshape(3),
+            "albedo": np.asarray(
+                albedo if albedo is not None else np.ones(3), dtype=np.float64
+            ).reshape(3),
+            "g": float(g),
+        })
+        return len(self.media)  # row 0 is vacuum
+
+    def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1,
+                  interior: int = 0, exterior: int = -1):
+        """exterior = -1 uses the ambient medium at build time."""
+        self.soups.append((soup, bsdf, emitter, interior, exterior))
 
     def set_sensor(self, to_world: np.ndarray, fov_deg: float, width: int, height: int,
                    fov_axis: str = "x"):
@@ -256,19 +275,39 @@ class SceneBuilder:
         return float(pt_power / (pt_power + area_power))
 
     def build(self, pad_tris_to: int | None = None) -> tuple[SceneData, RenderConfig]:
-        all_v, all_n, all_uv, all_b, all_e = [], [], [], [], []
-        for soup, bsdf_i, emitter_i in self.soups:
+        # Ambient medium: scene-level fog becomes the last table row.
+        ambient_id = 0
+        media_rows = list(self.media)
+        if self.medium is not None:
+            media_rows.append({
+                "sigma_t": np.asarray(self.medium.get("sigma_t", np.zeros(3))).reshape(3),
+                "albedo": np.asarray(self.medium.get("albedo", np.ones(3))).reshape(3),
+                "g": float(self.medium.get("g", 0.0)),
+            })
+            ambient_id = len(media_rows)
+
+        all_v, all_n, all_uv, all_b, all_e, all_mi, all_me = [], [], [], [], [], [], []
+        for entry in self.soups:
+            soup, bsdf_i, emitter_i = entry[0], entry[1], entry[2]
+            interior_i = entry[3] if len(entry) > 3 else 0
+            exterior_i = entry[4] if len(entry) > 4 else -1
+            if exterior_i < 0:
+                exterior_i = ambient_id
             v, n, uv = soup.concat()
             all_v.append(v)
             all_n.append(n)
             all_uv.append(uv)
             all_b.append(np.full(len(v), bsdf_i, dtype=np.int32))
             all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
+            all_mi.append(np.full(len(v), interior_i, dtype=np.int32))
+            all_me.append(np.full(len(v), exterior_i, dtype=np.int32))
         verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3))
         normals = np.concatenate(all_n) if all_n else np.zeros((0, 3, 3))
         uvs = np.concatenate(all_uv) if all_uv else np.zeros((0, 3, 2))
         tri_bsdf = np.concatenate(all_b) if all_b else np.zeros(0, np.int32)
         tri_emitter = np.concatenate(all_e) if all_e else np.zeros(0, np.int32)
+        tri_medium = np.concatenate(all_mi) if all_mi else np.zeros(0, np.int32)
+        tri_medium_ext = np.concatenate(all_me) if all_me else np.zeros(0, np.int32)
 
         v0 = verts[:, 0]
         e1 = verts[:, 1] - verts[:, 0]
@@ -310,6 +349,10 @@ class SceneBuilder:
             uvs = np.concatenate([uvs, np.zeros((pad, 3, 2))])
             tri_bsdf = np.concatenate([tri_bsdf, np.zeros(pad, np.int32)])
             tri_emitter = np.concatenate([tri_emitter, np.full(pad, -1, np.int32)])
+            tri_medium = np.concatenate([tri_medium, np.zeros(pad, np.int32)])
+            tri_medium_ext = np.concatenate(
+                [tri_medium_ext, np.full(pad, ambient_id, np.int32)]
+            )
 
         if not self.bsdfs:
             self.add_bsdf(BSDF_DIFFUSE)
@@ -439,10 +482,21 @@ class SceneBuilder:
             pt_cdf=f32(self._pt_cdf()),
             pt_select_prob=f32(self._pt_select_prob(area_power_total)),
             med_sigma_t=f32(
-                (self.medium or {}).get("sigma_t", np.zeros(3))
+                np.concatenate([
+                    np.zeros((1, 3)),
+                    np.asarray([m["sigma_t"] for m in media_rows]).reshape(-1, 3),
+                ])
             ),
-            med_albedo=f32((self.medium or {}).get("albedo", np.ones(3))),
-            med_g=f32((self.medium or {}).get("g", 0.0)),
+            med_albedo=f32(
+                np.concatenate([
+                    np.ones((1, 3)),
+                    np.asarray([m["albedo"] for m in media_rows]).reshape(-1, 3),
+                ])
+            ),
+            med_g=f32(np.concatenate([[0.0], [m["g"] for m in media_rows]])),
+            tri_medium=i32(tri_medium),
+            tri_medium_ext=i32(tri_medium_ext),
+            ambient_med=i32(ambient_id),
             cam_to_world=f32(self.cam_to_world),
             cam_tan_half_fov=f32(np.tan(0.5 * fov)),
             aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),
@@ -459,6 +513,6 @@ class SceneBuilder:
             width=self.width, height=self.height, max_depth=self.max_depth,
             rr_depth=self.rr_depth, fov_axis=self.fov_axis,
             bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
-            has_medium=self.medium is not None,
+            has_medium=self.medium is not None or len(self.media) > 0,
         )
         return data, cfg

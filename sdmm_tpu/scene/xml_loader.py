@@ -429,6 +429,7 @@ class XMLLoader:
 
         bsdf_idx = None
         emitter_idx = -1
+        interior_med = 0
         for sub in el:
             if sub.tag == "ref":
                 ref_id = sub.get("id")
@@ -440,8 +441,34 @@ class XMLLoader:
                 ep = _props(sub, self.variables)
                 rad = np.asarray(ep.get("radiance", np.ones(3))).reshape(3)
                 emitter_idx = self.builder.add_emitter(rad)
+            elif sub.tag == "medium" and sub.get("name", "interior") == "interior":
+                # Per-shape interior medium (reference: Shape::addChild
+                # medium handling, librender/shape.cpp).
+                mp = _props(sub, self.variables)
+                if "sigmaT" in mp:
+                    sigma_t = np.asarray(mp["sigmaT"]).reshape(3)
+                    albedo = np.asarray(mp.get("albedo", np.ones(3))).reshape(3)
+                else:
+                    sigma_s = np.asarray(mp.get("sigmaS", np.zeros(3))).reshape(3)
+                    sigma_a = np.asarray(mp.get("sigmaA", np.zeros(3))).reshape(3)
+                    sigma_t = sigma_s + sigma_a
+                    albedo = np.where(
+                        sigma_t > 0, sigma_s / np.maximum(sigma_t, 1e-20), 0.0
+                    )
+                g = 0.0
+                for ph in sub:
+                    if ph.tag == "phase":
+                        g = float(_props(ph, self.variables).get("g", 0.0))
+                interior_med = self.builder.add_medium(sigma_t, albedo, g)
         if bsdf_idx is None:
-            bsdf_idx = self.builder.add_bsdf(BSDF_DIFFUSE, albedo=np.full(3, 0.5))
+            if interior_med:
+                # Medium-only shape: invisible null boundary
+                # (reference: shapes with media but no BSDF pass rays).
+                from .scene import BSDF_NULL
+
+                bsdf_idx = self.builder.add_bsdf(BSDF_NULL)
+            else:
+                bsdf_idx = self.builder.add_bsdf(BSDF_DIFFUSE, albedo=np.full(3, 0.5))
 
         if stype == "rectangle":
             soup = shp.make_rectangle(to_world, flip)
@@ -479,7 +506,7 @@ class XMLLoader:
             soup = shp.mesh_to_soup(mesh, to_world, flip)
         else:
             return  # unsupported shape type: skip
-        self.builder.add_shape(soup, bsdf_idx, emitter_idx)
+        self.builder.add_shape(soup, bsdf_idx, emitter_idx, interior=interior_med)
 
 
 def load_scene(path: str, overrides: dict | None = None) -> SceneBuilder:

@@ -77,3 +77,43 @@ def test_hg_sampling_matches_pdf():
     vals = np.asarray(med.hg_pdf(jnp.float32(0.5), jnp.asarray(ct, jnp.float32)))
     integral = np.trapezoid(vals * 2 * np.pi, ct)
     assert abs(integral - 1.0) < 1e-3, integral
+
+
+def test_bounded_medium_matches_beer_lambert():
+    """Fog confined to a null-boundary cube attenuates only over the
+    segment inside the cube (per-shape interior media, reference: Shape
+    interior medium pointers)."""
+    from sdmm_tpu.scene.scene import BSDF_NULL
+
+    def build(with_fog):
+        b = SceneBuilder()
+        black = b.add_bsdf(BSDF_DIFFUSE, albedo=[0, 0, 0])
+        em = b.add_emitter([5.0, 5.0, 5.0])
+        m = np.eye(4)
+        m[:3, :3] = np.diag([6.0, 6.0, 1.0])
+        m[2, 3] = -3.0  # wall at z=-3
+        b.add_shape(shp.make_rectangle(m), black, em)
+        if with_fog:
+            fog = b.add_medium(np.full(3, 0.8), np.zeros(3), 0.0)
+            null = b.add_bsdf(BSDF_NULL)
+            c = np.eye(4)
+            c[:3, :3] = np.diag([2.0, 2.0, 0.5])
+            c[2, 3] = -1.0  # cube spans z in [-1.5, -0.5]
+            b.add_shape(shp.make_cube(c), null, interior=fog)
+        cam = np.eye(4)
+        cam[2, 2] = -1.0
+        cam[0, 0] = -1.0
+        b.set_sensor(cam, fov_deg=20.0, width=16, height=16)
+        return b.build()
+
+    s0, c0 = build(False)
+    s1, c1 = build(True)
+    c0.max_depth = c1.max_depth = 8
+    c0.rr_depth = c1.rr_depth = 8
+    clear = render(s0, c0, spp=16, seed=0, rays_per_wave=256, nee=False)
+    foggy = render(s1, c1, spp=256, seed=0, rays_per_wave=256, nee=False)
+    c = np.asarray(clear["image"])[6:10, 6:10, 0].mean()
+    f = np.asarray(foggy["image"])[6:10, 6:10, 0].mean()
+    # Central rays cross ~1 unit of fog: T = exp(-0.8).
+    expected = c * np.exp(-0.8)
+    assert abs(f - expected) / expected < 0.08, (f, expected, c)
