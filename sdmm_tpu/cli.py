@@ -71,6 +71,8 @@ def cmd_render(args):
         tc = TrainerConfig(
             samples_per_iteration=int(overrides.get("samplesPerIteration", 4)),
             seed=builder.seed,
+            reservoir_capacity=int(overrides.get("reservoirCapacity", 0)),
+            optimize_async=overrides.get("optimizeAsync", "false") == "true",
         )
         trainer = SDMMTrainer(scene, cfg, tc)
         image, iters = trainer.run(total_spp=spp, verbose=args.verbose)

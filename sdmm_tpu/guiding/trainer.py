@@ -46,6 +46,10 @@ class TrainerConfig:
     jitter_replicas: bool = True  # cross-leaf sample sharing: replicate
     # high-value / path-terminal samples into a neighboring leaf with a
     # cell-diagonal jitter (reference: sdmm_proc.cpp:932-964)
+    reservoir_capacity: int = 0  # > 0 enables the PER sample reservoir
+    # (reference: jmm/samples.h decayed replay + russianRoulette); EM then
+    # fits the reservoir contents instead of only the current iteration.
+    per_decay: float = 0.5  # priority decay per iteration for stored samples
     optimize_async: bool = False  # render iteration i+1 with the mixtures
     # from iteration i-1 while the EM update for i is in flight (the
     # reference's optimizeAsync double-buffer swap, volpath_sdmm.cpp:180-242).
@@ -90,6 +94,12 @@ class SDMMTrainer:
             self.learned = build_learned_table(scene)
         else:
             self.learned = None
+        if c.reservoir_capacity > 0:
+            from .reservoir import make_reservoir
+
+            self.reservoir = make_reservoir(c.reservoir_capacity)
+        else:
+            self.reservoir = None
 
     # ------------------------------------------------------------------
 
@@ -203,6 +213,24 @@ class SDMMTrainer:
             wgt = jnp.concatenate([wgt, jnp.where(keep, wgt, -1.0)])
             valid = jnp.concatenate([valid, keep])
             leaf = jnp.concatenate([leaf, jnp.where(keep, leaf_j, 0)])
+
+        # Prioritized replay: merge into the fixed-capacity reservoir and fit
+        # the EM on its (decayed, RR-downsampled) contents.
+        if self.reservoir is not None:
+            from .reservoir import reservoir_update
+
+            k_r = jax.random.fold_in(
+                jax.random.PRNGKey(c.seed ^ 0x51ED), self.iteration
+            )
+            self.reservoir = reservoir_update(
+                self.reservoir, pos, d, wgt, valid, k_r,
+                c.reservoir_capacity, c.per_decay,
+            )
+            pos = self.reservoir["pos"]
+            d = self.reservoir["dir"]
+            wgt = self.reservoir["weight"]
+            valid = self.reservoir["valid"]
+            leaf = find_leaf(self.tables, pos)
 
         counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(
             valid.astype(jnp.int32)
