@@ -6,6 +6,10 @@ Metric: path vertices traced per second per chip ("rays/s" in the
 reference's accounting — BASELINE.md derives ~146 M rays/s for the
 cornell-box GT run on a 128-core CPU cluster; vs_baseline is measured
 single-chip throughput divided by that full-cluster number).
+
+Uses the regenerating wavefront pool (render/wavefront.py): every lane
+restarts on the next camera sample when its path dies, so occupancy stays
+high across the path-length distribution.
 """
 
 from __future__ import annotations
@@ -13,8 +17,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-
-import numpy as np
 
 BASELINE_RAYS_PER_S = 146e6  # cornell-box GT, 128 CPU cores (BASELINE.md)
 
@@ -24,10 +26,8 @@ def main():
 
     enable_cache()
     import jax
-    import jax.numpy as jnp
 
-    from sdmm_tpu.render.volpath import trace_wave
-    from sdmm_tpu.scene.sensor import generate_rays
+    from sdmm_tpu.render.wavefront import render_pool
     from sdmm_tpu.scene.xml_loader import load_scene
 
     scene_path = "/root/reference/test-suite/scenes/cornell-box/cornell-box.xml"
@@ -45,32 +45,29 @@ def main():
     cfg.max_depth = 10
     cfg.rr_depth = 10
 
-    w, h = cfg.width, cfg.height
-    n_rays = 1 << 18  # 256k rays per wave
-    pix = jnp.arange(n_rays, dtype=jnp.int32) % (w * h)
-    px = (pix % w).astype(jnp.float32) + 0.5
-    py = (pix // w).astype(jnp.float32) + 0.5
-    ro, rd = generate_rays(scene, jnp.stack([px, py], axis=-1), w, h, cfg.fov_axis)
+    n_lanes = 1 << 17
+    spp = 12
 
-    def run(key):
-        return trace_wave(
-            scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            nee=True, count_vertices=True, bsdf_types=cfg.bsdf_types or None,
+    def run(seed):
+        return render_pool(
+            scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
+            width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth, nee=True,
+            bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
         )
 
     # Warmup/compile.
-    li, nv = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(li)
+    out = run(0)
+    jax.block_until_ready(out["image"])
 
-    iters = 8
+    iters = 4
     t0 = time.perf_counter()
-    total_vertices = 0
+    total_vertices = 0.0
     for i in range(1, iters + 1):
-        li, nv = run(jax.random.PRNGKey(i))
-    jax.block_until_ready(li)
+        out = run(i)
+        total_vertices += float(out["n_vertices"])
+    jax.block_until_ready(out["image"])
     t1 = time.perf_counter()
-    # nv is identical in expectation across seeds; use last + count once more
-    total_vertices = int(nv) * iters
     dt = t1 - t0
     rays_per_s = total_vertices / dt
 

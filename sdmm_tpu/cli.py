@@ -95,14 +95,21 @@ def cmd_render(args):
                     (it["sqr"] / n).reshape(cfg.height, cfg.width, 3),
                 )
     else:
-        from .render.renderer import render as render_fn
-
         nee = integrator in ("gt", "volpath")
-        res = render_fn(
-            scene, cfg, spp=spp, seed=builder.seed, nee=nee,
-            sampler=args.sampler or builder.sampler,
-            rfilter=args.rfilter or builder.rfilter,
-        )
+        sampler = args.sampler or builder.sampler
+        rfilter = args.rfilter or builder.rfilter
+        if not cfg.has_medium and sampler == "independent" and rfilter == "box":
+            # Fast path: regenerating wavefront pool (render/wavefront.py).
+            from .render.wavefront import render_wavefront
+
+            res = render_wavefront(scene, cfg, spp=spp, seed=builder.seed, nee=nee)
+        else:
+            from .render.renderer import render as render_fn
+
+            res = render_fn(
+                scene, cfg, spp=spp, seed=builder.seed, nee=nee,
+                sampler=sampler, rfilter=rfilter,
+            )
         image = res["image"]
         stats = {
             "integrator": integrator,

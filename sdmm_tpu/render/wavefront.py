@@ -1,0 +1,267 @@
+"""Persistent wavefront renderer with path regeneration.
+
+Performance redesign of the plain wave driver (renderer.py + volpath.py):
+instead of tracing fixed ray batches to completion — where lane occupancy
+decays with the survival curve (mean path length 3.5 of max_depth 10 means
+>60% of lanes idle in late bounces, PERF.md) — every lane owns a *stream*
+of camera samples. When a lane's path terminates it splats its radiance to
+the film and immediately restarts on its next camera sample, keeping the
+whole wave ~100% occupied until the sample budget drains.
+
+This replaces the reference's work-unit/tile decomposition
+(reference: mitsuba/include/mitsuba/render/renderproc.h BlockedRenderProcess)
+at the lane level: a global counter hands each dying lane the next
+unconsumed camera sample (per-step prefix sum — the TPU analog of a
+work-stealing queue). One `lax.while_loop` iteration = one bounce for all
+lanes.
+
+Media are not yet supported here; callers fall back to the classic wave
+driver for scenes with media.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bsdf_mod
+from ..core.frame import to_local, to_world
+from ..scene import emitters
+from ..scene.sensor import generate_rays
+from . import intersect as isect
+from .volpath import RAY_EPS, mi_weight, shading_frame
+
+
+@partial(jax.jit, static_argnames=(
+    "n_lanes", "spp", "width", "height", "max_depth", "rr_depth", "nee",
+    "bsdf_types", "fov_axis",
+))
+def render_pool(
+    scene,
+    key,
+    n_lanes: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    nee: bool = True,
+    bsdf_types: tuple | None = None,
+    fov_axis: str = "x",
+):
+    """Render width×height at spp with a regenerating lane pool.
+
+    Returns dict(image, sqr, weight [flat n_pix, …], n_vertices []).
+    """
+    n_pix = width * height
+    total = n_pix * spp
+    pdf_over_area = emitters.tri_pdf_over_area(scene)
+    lane_id = jnp.arange(n_lanes, dtype=jnp.int32)
+    has_env_nee = nee and scene.env_pdf.shape[0] > 1
+
+    def cond(c):
+        return jnp.any(c["alive"] | ~c["exhausted"])
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_nee, k_b0, k_b1, k_b2, k_rr = jax.random.split(k, 6)
+
+        # --- Regenerate dead lanes on their next camera sample ---
+        need = ~c["alive"] & ~c["exhausted"]
+        # Dynamic work assignment: a global counter hands the next
+        # unconsumed sample index to each dying lane (rank = prefix sum of
+        # the regenerating mask). Per-lane static budgets would leave a
+        # straggler tail — the loop runs until the slowest lane drains, and
+        # the max over lanes of 'sum of path lengths' is far above the
+        # mean. With the shared counter the tail is one path length.
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        g = c["cursor"] + rank  # cursor doubles as the global counter
+        in_budget = need & (g < total)
+        pix_n = jnp.where(in_budget, g % n_pix, 0)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        px = (pix_n % width).astype(jnp.float32) + u[:, 0]
+        py = (pix_n // width).astype(jnp.float32) + u[:, 1]
+        ro_n, rd_n = generate_rays(
+            scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
+        )
+        start = in_budget
+        c["exhausted"] = c["exhausted"] | (need & ~in_budget)
+        c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
+        c["pix"] = jnp.where(start, pix_n, c["pix"])
+        c["ro"] = jnp.where(start[:, None], ro_n, c["ro"])
+        c["rd"] = jnp.where(start[:, None], rd_n, c["rd"])
+        c["thr"] = jnp.where(start[:, None], 1.0, c["thr"])
+        c["eta_sq"] = jnp.where(start, 1.0, c["eta_sq"])
+        c["li"] = jnp.where(start[:, None], 0.0, c["li"])
+        c["prev_pdf"] = jnp.where(start, 1.0, c["prev_pdf"])
+        c["prev_delta"] = jnp.where(start, True, c["prev_delta"])
+        c["depth"] = jnp.where(start, 0, c["depth"])
+        c["alive"] = c["alive"] | start
+        alive = c["alive"]
+        ro, rd, thr = c["ro"], c["rd"], c["thr"]
+
+        # --- One bounce (mirrors volpath.trace_wave's body) ---
+        hit = isect.intersect(scene, ro, rd)
+        it = isect.surface_interaction(scene, ro, rd, hit)
+
+        le = emitters.eval_emitter(scene, it, -rd)
+        if nee:
+            pdf_nee = emitters.pdf_direct_hit(
+                scene, pdf_over_area, hit["tri"], rd, hit["t"]
+            )
+            w_hit = jnp.where(c["prev_delta"], 1.0, mi_weight(c["prev_pdf"], pdf_nee))
+        else:
+            w_hit = jnp.ones(n_lanes)
+        li = c["li"] + jnp.where(alive[:, None], thr * le * w_hit[:, None], 0.0)
+
+        if has_env_nee:
+            pdf_env_nee = emitters.pdf_env_dir(scene, rd) * scene.env_select_prob
+            w_env = jnp.where(
+                c["prev_delta"], 1.0, mi_weight(c["prev_pdf"], pdf_env_nee)
+            )
+        else:
+            w_env = jnp.ones(n_lanes)
+        escaped = alive & ~hit["valid"]
+        li = li + jnp.where(
+            escaped[:, None],
+            thr * emitters.env_eval(scene, rd) * w_env[:, None], 0.0,
+        )
+
+        on_surface = alive & hit["valid"]
+        c["n_vert"] = c["n_vert"] + jnp.sum(on_surface).astype(jnp.float32)
+
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
+        s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
+        wi_local = to_local(s_ax, t_ax, n_ax, -rd)
+        wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
+        from ..scene.scene import BSDF_NULL as _NULL
+
+        cullable = params["type"] != _NULL
+        if "is_mask" in params:
+            cullable = cullable & ~params["is_mask"]
+        on_surface = on_surface & ~(
+            cullable & (wi_dot_geo * wi_local[..., 2] < 0.0)
+        )
+
+        if nee:
+            u1n = jax.random.uniform(k_nee, (n_lanes,))
+            u2n = jax.random.uniform(jax.random.fold_in(k_nee, 1), (n_lanes, 2))
+            ls = emitters.sample_direct(scene, it["p"], u1n, u2n)
+            wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
+            f, pdf_b = bsdf_mod.eval_pdf_full(
+                params, wi_local, wo_l, types=bsdf_types
+            )
+            smooth = bsdf_mod.has_smooth(params)
+            cand = on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+            shadow_o = it["p"] + it["ng"] * jnp.where(
+                jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
+            )[:, None]
+            occ = isect.occluded(scene, shadow_o, ls["d"], ls["dist"] * (1.0 - 1e-3))
+            w = jnp.where(ls["delta"], 1.0, mi_weight(ls["pdf"], pdf_b))
+            contrib = thr * f * ls["radiance"] * (
+                w / jnp.maximum(ls["pdf"], 1e-20)
+            )[:, None]
+            li = li + jnp.where((cand & ~occ)[:, None], contrib, 0.0)
+
+        u0 = jax.random.uniform(k_b0, (n_lanes,))
+        u1 = jax.random.uniform(k_b1, (n_lanes,))
+        u2 = jax.random.uniform(k_b2, (n_lanes, 2))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
+        wo_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
+        wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)
+        good = jnp.any(bs["weight"] > 0.0, axis=-1) & (
+            bs["pass"] | ~(wo_dot_geo * bs["wo"][..., 2] <= 0.0)
+        )
+
+        depth = c["depth"] + 1
+        survive = on_surface & good & (depth < max_depth)
+        thr_next = thr * jnp.where(survive[:, None], bs["weight"], 1.0)
+        eta_sq = c["eta_sq"] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
+
+        # Russian roulette (reference: sdmm_proc.cpp:858).
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(thr_next, axis=-1) * eta_sq, 0.95)
+        )
+        do_rr = depth + 1 >= rr_depth
+        u_rr = jax.random.uniform(k_rr, (n_lanes,))
+        survive = survive & ~(do_rr & (u_rr >= q))
+        thr_next = jnp.where(
+            (do_rr & survive)[:, None],
+            thr_next / jnp.maximum(q, 1e-6)[:, None], thr_next,
+        )
+
+        # --- Terminate finished paths: splat to film ---
+        done = alive & ~survive
+        li_s = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+        val = jnp.where(done[:, None], li_s, 0.0)
+        c["image"] = c["image"].at[c["pix"]].add(val)
+        c["sqr"] = c["sqr"].at[c["pix"]].add(val * val)
+        c["weight"] = c["weight"].at[c["pix"]].add(done.astype(jnp.float32))
+
+        offset_sign = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
+        c["ro"] = it["p"] + it["ng"] * offset_sign[:, None]
+        c["rd"] = wo_world
+        c["thr"] = thr_next
+        c["eta_sq"] = eta_sq
+        c["li"] = li
+        c["prev_pdf"] = bs["pdf"]
+        c["prev_delta"] = bs["delta"]
+        c["depth"] = depth
+        c["alive"] = survive
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "image": jnp.zeros((n_pix, 3)),
+        "sqr": jnp.zeros((n_pix, 3)),
+        "weight": jnp.zeros((n_pix,)),
+        "pix": jnp.zeros((n_lanes,), jnp.int32),
+        "cursor": jnp.int32(0),  # global sample counter
+        "alive": jnp.zeros((n_lanes,), bool),
+        "exhausted": jnp.zeros((n_lanes,), bool),
+        "ro": jnp.zeros((n_lanes, 3)),
+        "rd": jnp.zeros((n_lanes, 3)).at[:, 2].set(1.0),
+        "thr": jnp.ones((n_lanes, 3)),
+        "eta_sq": jnp.ones((n_lanes,)),
+        "li": jnp.zeros((n_lanes, 3)),
+        "prev_pdf": jnp.ones((n_lanes,)),
+        "prev_delta": jnp.ones((n_lanes,), bool),
+        "depth": jnp.zeros((n_lanes,), jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {
+        "image": out["image"],
+        "sqr": out["sqr"],
+        "weight": out["weight"],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+    }
+
+
+def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
+                     n_lanes: int = 1 << 18, nee: bool = True):
+    """Host-facing wrapper matching renderer.render's output dict."""
+    import numpy as np
+
+    out = render_pool(
+        scene, jax.random.PRNGKey(seed), n_lanes=min(n_lanes, cfg.width * cfg.height * spp),
+        spp=spp, width=cfg.width, height=cfg.height,
+        max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
+        bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
+    )
+    image = np.asarray(out["image"])
+    weight = np.asarray(out["weight"])
+    return {
+        "image": (image / np.maximum(weight, 1.0)[:, None]).reshape(
+            cfg.height, cfg.width, 3
+        ),
+        "sqr": np.asarray(out["sqr"]).reshape(cfg.height, cfg.width, 3),
+        "weight": weight.reshape(cfg.height, cfg.width),
+        "raw": image.reshape(cfg.height, cfg.width, 3),
+        "n_vertices": int(out["n_vertices"]),
+        "steps": int(out["steps"]),
+    }
