@@ -270,3 +270,17 @@ def em_step(sdmm, em, pos, d, weight, leaf, active, cfg: EMConfig = EMConfig()):
     )
     new_sdmm, new_em = m_step(sdmm, prep, em, sw, sm, sc, ws, active, cfg)
     return new_sdmm, new_em, cnt
+
+
+def batch_em(sdmm, pos, d, weight, leaf, active, n_iters: int = 8,
+             cfg: EMConfig = EMConfig()):
+    """Full-batch (non-stepwise) EM (reference: jmm/opt/batch.h) — every
+    iteration refits from the complete sample set with no running-stat
+    blending: a fresh EMState keeps eta = (lr·0+1)^-alpha = 1 and full MAP
+    priors each pass. Used for offline fits (learned-BSDF DMMs,
+    checkpointed model refinement); the online path stays stepwise."""
+    L, K = sdmm.weight.shape
+    for _ in range(n_iters):
+        em = init_em_state(L, K)
+        sdmm, em, _ = em_step(sdmm, em, pos, d, weight, leaf, active, cfg)
+    return sdmm

@@ -66,3 +66,59 @@ def init_leaf_params(
 
     weight = jnp.full((L, K), 1.0 / K)
     return SDMM(weight=weight, mean=mean, cov=cov)
+
+
+def _segment_argmax(score: jnp.ndarray, leaf: jnp.ndarray, n_leaves: int):
+    """Index of the max-score sample per leaf; n_samples marks empty leaves."""
+    s = score.shape[0]
+    mx = jax.ops.segment_max(score, leaf, num_segments=n_leaves)
+    is_max = jnp.isfinite(score) & (score >= mx[leaf])
+    idx = jnp.where(is_max, jnp.arange(s, dtype=jnp.int32), s)
+    return jax.ops.segment_min(idx, leaf, num_segments=n_leaves)
+
+
+def kmeanspp_centers(key, pos: jnp.ndarray, leaf: jnp.ndarray,
+                     valid: jnp.ndarray, n_leaves: int, n_centers: int):
+    """Batched per-leaf k-means++ seeding (reference: kMeansPPInit,
+    jmm/mixture_model_init.h:245).
+
+    All leaves are seeded at once: the classic 'sample ∝ min-distance²'
+    draw becomes a Gumbel-max over log(d_min²) within each leaf segment —
+    no per-leaf loops, no kd-trees. Returns (centers [L, C, 3],
+    has_center [L] bool).
+    """
+    s = pos.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+    centers = []
+    g0 = jax.random.gumbel(key, (s,))
+    sel = _segment_argmax(jnp.where(valid, g0, neg_inf), leaf, n_leaves)
+    has = sel < s
+    c = pos[jnp.minimum(sel, s - 1)]
+    centers.append(c)
+    d_min = jnp.sum((pos - c[leaf]) ** 2, axis=-1)
+    for j in range(1, n_centers):
+        gj = jax.random.gumbel(jax.random.fold_in(key, j), (s,))
+        score = jnp.where(
+            valid & (d_min > 0.0), jnp.log(jnp.maximum(d_min, 1e-30)) + gj, neg_inf
+        )
+        sel = _segment_argmax(score, leaf, n_leaves)
+        # Leaves with no remaining distinct sample reuse the previous center.
+        c_j = jnp.where((sel < s)[:, None], pos[jnp.minimum(sel, s - 1)], c)
+        centers.append(c_j)
+        d_min = jnp.minimum(d_min, jnp.sum((pos - c_j[leaf]) ** 2, axis=-1))
+        c = c_j
+    return jnp.stack(centers, axis=1), has
+
+
+def reseed_spatial_means(sdmm: SDMM, centers: jnp.ndarray, reseed: jnp.ndarray,
+                         n_spatial: int) -> SDMM:
+    """Replace the spatial part of leaf means with k-means++ centers
+    (directional structure and covariances keep the stratified init).
+    centers: [L, n_spatial, 3]; reseed: [L] bool."""
+    L, K = sdmm.weight.shape
+    per = K // n_spatial
+    pos = jnp.repeat(centers, per, axis=1)[:, :K]  # [L, K, 3]
+    mean = sdmm.mean.at[..., :3].set(
+        jnp.where(reseed[:, None, None], pos, sdmm.mean[..., :3])
+    )
+    return SDMM(weight=sdmm.weight, mean=mean, cov=sdmm.cov)

@@ -46,6 +46,9 @@ class TrainerConfig:
     jitter_replicas: bool = True  # cross-leaf sample sharing: replicate
     # high-value / path-terminal samples into a neighboring leaf with a
     # cell-diagonal jitter (reference: sdmm_proc.cpp:932-964)
+    data_init: bool = False  # k-means++ reseed of spatial means when a
+    # leaf first activates (reference: sdmm::initialize data-driven init,
+    # volpath_sdmm.cpp:132-138; kMeansPPInit, jmm/mixture_model_init.h:245)
     reservoir_capacity: int = 0  # > 0 enables the PER sample reservoir
     # (reference: jmm/samples.h decayed replay + russianRoulette); EM then
     # fits the reservoir contents instead of only the current iteration.
@@ -242,6 +245,19 @@ class SDMMTrainer:
             & (jnp.asarray(self.tree.leaf_counts, jnp.float32) >= 64.0)
             & ((self.total_spp > 12) | (counts_dev > 1000))
         )
+
+        # Data-driven init: k-means++ spatial seeds for leaves activating
+        # for the first time this iteration.
+        if c.data_init:
+            newly = active & ~self.initialized
+            if bool(jnp.any(newly)):
+                centers, has = init_mod.kmeanspp_centers(
+                    jax.random.fold_in(jax.random.PRNGKey(c.seed ^ 0x4B4D), self.iteration),
+                    pos, leaf, valid, c.max_leaves, n_centers=2,
+                )
+                self.sdmm = init_mod.reseed_spatial_means(
+                    self.sdmm, centers, newly & has, n_spatial=2
+                )
 
         n_inner = 2 if self.iteration < self.cfg.double_em_until else 1
         for _ in range(n_inner):
