@@ -211,8 +211,57 @@ def surface_interaction(scene, ro, rd, hit):
         "ng": ng,
         "ns": ns,
         "uv": uv,
+        "tri": tri,
         "bsdf": bsdf,
         "emitter": jnp.where(hit["valid"], emitter, -1),
         "valid": hit["valid"],
         "t": hit["t"],
     }
+
+
+def apply_bumpmap(scene, it: dict) -> jnp.ndarray:
+    """Perturb shading normals with a height texture
+    (reference: mitsuba/src/bsdfs/bumpmap.cpp — offsets the tangent-space
+    frame by the texture's uv gradient). Returns the new ns [N, 3]; rays
+    whose BSDF carries no bump texture keep their normals.
+    """
+    from ..bsdf.bsdf import sample_texture
+    from ..core.spectrum import luminance
+
+    tex_id = scene.bsdf_bump[it["bsdf"]]
+    scale = scene.bsdf_bump_scale[it["bsdf"]]
+    has = tex_id >= 0
+    tid = jnp.maximum(tex_id, 0)
+    r = scene.textures.shape[1]
+    eps = 1.0 / r
+    uv = it["uv"]
+
+    def h(uv_):
+        return luminance(sample_texture(scene.textures, tid, uv_))
+
+    du = jnp.zeros_like(uv).at[..., 0].set(eps)
+    dv = jnp.zeros_like(uv).at[..., 1].set(eps)
+    gu = (h(uv + du) - h(uv - du)) / (2.0 * eps)
+    gv = (h(uv + dv) - h(uv - dv)) / (2.0 * eps)
+
+    # Tangents from the triangle's uv parameterization.
+    tri = it["tri"]
+    e1 = scene.tri_e1[tri]
+    e2 = scene.tri_e2[tri]
+    uv_flat = scene.tri_uv.reshape(-1, 6)[tri]
+    duv1 = uv_flat[:, 2:4] - uv_flat[:, 0:2]
+    duv2 = uv_flat[:, 4:6] - uv_flat[:, 0:2]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)[:, None]
+    dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det
+    dpdv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv_det
+
+    ns = it["ns"]
+    dpdu_b = dpdu + (scale * gu)[:, None] * ns
+    dpdv_b = dpdv + (scale * gv)[:, None] * ns
+    n_new = jnp.cross(dpdu_b, dpdv_b)
+    n_new = n_new * jnp.sign(jnp.sum(n_new * ns, axis=-1, keepdims=True))
+    n_norm = jnp.linalg.norm(n_new, axis=-1, keepdims=True)
+    ok = has & (jnp.abs(det) > 1e-12) & (n_norm[..., 0] > 1e-12)
+    n_new = n_new / jnp.maximum(n_norm, 1e-20)
+    return jnp.where(ok[:, None], n_new, ns)

@@ -56,7 +56,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium", "has_bump"))
 def trace_wave(
     scene,
     key,
@@ -68,6 +68,7 @@ def trace_wave(
     count_vertices: bool = False,
     bsdf_types: tuple | None = None,
     has_medium: bool = False,
+    has_bump: bool = False,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
 
@@ -85,6 +86,8 @@ def trace_wave(
 
         hit = isect.intersect(scene, ro, rd)
         it = isect.surface_interaction(scene, ro, rd, hit)
+        if has_bump:
+            it["ns"] = isect.apply_bumpmap(scene, it)
 
         # --- Participating medium: free-flight sampling (reference:
         # volpath.cpp medium sampling; render/medium.py). Compiled out when

@@ -36,7 +36,7 @@ from .volpath import RAY_EPS, mi_weight, shading_frame
 
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth", "nee",
-    "bsdf_types", "fov_axis",
+    "bsdf_types", "fov_axis", "has_bump",
 ))
 def render_pool(
     scene,
@@ -50,6 +50,7 @@ def render_pool(
     nee: bool = True,
     bsdf_types: tuple | None = None,
     fov_axis: str = "x",
+    has_bump: bool = False,
 ):
     """Render width×height at spp with a regenerating lane pool.
 
@@ -105,6 +106,8 @@ def render_pool(
         # --- One bounce (mirrors volpath.trace_wave's body) ---
         hit = isect.intersect(scene, ro, rd)
         it = isect.surface_interaction(scene, ro, rd, hit)
+        if has_bump:
+            it["ns"] = isect.apply_bumpmap(scene, it)
 
         le = emitters.eval_emitter(scene, it, -rd)
         if nee:
@@ -252,6 +255,7 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
         spp=spp, width=cfg.width, height=cfg.height,
         max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
         bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
+        has_bump=cfg.has_bump,
     )
     image = np.asarray(out["image"])
     weight = np.asarray(out["weight"])

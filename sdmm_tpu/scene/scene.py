@@ -62,6 +62,8 @@ class SceneData(NamedTuple):
     bsdf_exponent: jnp.ndarray  # [B] phong exponent
     bsdf_tex: jnp.ndarray  # [B] int32 texture id for albedo (-1 = none)
     bsdf_alpha_v: jnp.ndarray  # [B] second roughness axis (ward)
+    bsdf_bump: jnp.ndarray  # [B] int32 height-texture id (-1 = none)
+    bsdf_bump_scale: jnp.ndarray  # [B]
     bsdf_child0: jnp.ndarray  # [B] int32 child BSDF id (blend/mask; -1 = none)
     bsdf_child1: jnp.ndarray  # [B] int32 second child (blend)
     bsdf_weight: jnp.ndarray  # [B] blend factor toward child1
@@ -143,6 +145,7 @@ class RenderConfig:
     # only these models (wavefront specialization).
     bsdf_types: tuple = ()
     has_medium: bool = False  # compile-out flag for volumetric code
+    has_bump: bool = False  # compile-out flag for bump mapping
 
 
 @dataclass
@@ -183,6 +186,8 @@ class SceneBuilder:
             k=np.asarray(params.get("k", [0.0, 0.0, 0.0]), dtype=np.float64),
             exponent=float(params.get("exponent", 30.0)),
             alpha_v=float(params.get("alpha_v", params.get("alpha", 0.1))),
+            bump=int(params.get("bump", -1)),
+            bump_scale=float(params.get("bump_scale", 1.0)),
             child0=int(params.get("child0", -1)),
             child1=int(params.get("child1", -1)),
             weight=float(params.get("weight", 0.5)),
@@ -454,6 +459,8 @@ class SceneBuilder:
             bsdf_exponent=f32([b["exponent"] for b in self.bsdfs]),
             bsdf_tex=i32([b.get("tex", -1) for b in self.bsdfs]),
             bsdf_alpha_v=f32([b.get("alpha_v", b["alpha"]) for b in self.bsdfs]),
+            bsdf_bump=i32([b.get("bump", -1) for b in self.bsdfs]),
+            bsdf_bump_scale=f32([b.get("bump_scale", 1.0) for b in self.bsdfs]),
             bsdf_child0=i32([b.get("child0", -1) for b in self.bsdfs]),
             bsdf_child1=i32([b.get("child1", -1) for b in self.bsdfs]),
             bsdf_weight=f32([b.get("weight", 0.5) for b in self.bsdfs]),
@@ -514,5 +521,6 @@ class SceneBuilder:
             rr_depth=self.rr_depth, fov_axis=self.fov_axis,
             bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
             has_medium=self.medium is not None or len(self.media) > 0,
+            has_bump=any(b.get("bump", -1) >= 0 for b in self.bsdfs),
         )
         return data, cfg

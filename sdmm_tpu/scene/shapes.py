@@ -57,6 +57,21 @@ class TriSoup:
             np.concatenate(self.uvs),
         )
 
+    def transformed(self, to_world: np.ndarray) -> "TriSoup":
+        """A copy with ``to_world`` applied — used for instancing
+        (reference: src/shapes/instance.cpp). Instances flatten to
+        transformed triangle copies at build time: gather-friendly flat
+        arrays instead of per-instance transform indirection."""
+        v, n, uv = self.concat()
+        out = TriSoup()
+        if len(v):
+            out.add(
+                _transform_points(to_world, v.reshape(-1, 3)).reshape(-1, 3, 3),
+                _transform_normals(to_world, n.reshape(-1, 3)).reshape(-1, 3, 3),
+                uv,
+            )
+        return out
+
 
 def make_rectangle(to_world: np.ndarray, flip_normals: bool = False) -> TriSoup:
     corners = np.array(

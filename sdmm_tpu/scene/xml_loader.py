@@ -163,6 +163,7 @@ class XMLLoader:
         self.overrides = dict(overrides or {})
         self.builder = SceneBuilder()
         self.base_dir = "."
+        self.shapegroups: dict = {}
 
     def load(self, path: str) -> SceneBuilder:
         self.base_dir = os.path.dirname(os.path.abspath(path))
@@ -324,6 +325,20 @@ class XMLLoader:
             if name is not None:
                 self.builder.bsdf_ids[name] = idx
             return idx
+        if btype == "bumpmap":
+            # Height-texture wrapper (reference: bsdfs/bumpmap.cpp): flatten
+            # onto the child row's bump columns.
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            idx = self._bsdf(children[0]) if children else self.builder.add_bsdf(
+                BSDF_DIFFUSE
+            )
+            tex_id = self._bsdf_texture(el)
+            if tex_id >= 0:
+                self.builder.bsdfs[idx]["bump"] = tex_id
+                self.builder.bsdfs[idx]["bump_scale"] = float(p.get("scale", 1.0))
+            if name is not None:
+                self.builder.bsdf_ids[name] = idx
+            return idx
         if btype == "blendbsdf":
             children = [sub for sub in el if sub.tag == "bsdf"]
             c0 = self._bsdf(children[0]) if len(children) > 0 else self.builder.add_bsdf(BSDF_DIFFUSE)
@@ -421,11 +436,34 @@ class XMLLoader:
                 return self.builder.add_texture(img)
         return -1
 
-    def _shape(self, el, base_dir):
+    def _shape(self, el, base_dir, collect: list | None = None):
+        """Parse one <shape>. With ``collect`` set, members are gathered
+        into the list instead of added to the scene (shapegroup bodies)."""
         stype = _subst(el.get("type"), self.variables)
         p = _props(el, self.variables)
         to_world = p.get("toWorld", np.eye(4))
         flip = bool(p.get("flipNormals", False))
+
+        if stype == "shapegroup":
+            # Reference: src/shapes/shapegroup.cpp — a named, non-rendered
+            # shape container for instancing.
+            members: list = []
+            for sub in el:
+                if sub.tag == "shape":
+                    self._shape(sub, base_dir, collect=members)
+            if el.get("id"):
+                self.shapegroups[el.get("id")] = members
+            return
+        if stype == "instance":
+            # Reference: src/shapes/instance.cpp — flattened at build time
+            # into transformed triangle copies (see TriSoup.transformed).
+            for sub in el:
+                if sub.tag == "ref" and sub.get("id") in self.shapegroups:
+                    for soup, b_i, e_i, m_i in self.shapegroups[sub.get("id")]:
+                        self.builder.add_shape(
+                            soup.transformed(to_world), b_i, e_i, interior=m_i
+                        )
+            return
 
         bsdf_idx = None
         emitter_idx = -1
@@ -506,7 +544,12 @@ class XMLLoader:
             soup = shp.mesh_to_soup(mesh, to_world, flip)
         else:
             return  # unsupported shape type: skip
-        self.builder.add_shape(soup, bsdf_idx, emitter_idx, interior=interior_med)
+        if collect is not None:
+            collect.append((soup, bsdf_idx, emitter_idx, interior_med))
+        else:
+            self.builder.add_shape(
+                soup, bsdf_idx, emitter_idx, interior=interior_med
+            )
 
 
 def load_scene(path: str, overrides: dict | None = None) -> SceneBuilder:
