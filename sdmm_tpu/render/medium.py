@@ -11,6 +11,7 @@ reweighting; all functions are batched and differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.frame import coordinate_system, to_world
@@ -42,6 +43,82 @@ def sample_distance(scene, med_id: jnp.ndarray, u: jnp.ndarray,
     weight = jnp.where(scattered[:, None], w_med, w_surf)
     weight = jnp.where(in_medium[:, None], weight, 1.0)
     return {"t": t, "scattered": scattered, "weight": weight}
+
+
+def density_at(scene, med_id: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Grid-density lookup for heterogeneous media (nearest cell;
+    reference: src/volume/gridvolume.cpp lookupFloat). 1 for homogeneous
+    rows, 0 outside the grid bounds."""
+    vol = scene.med_vol[med_id]
+    has = vol >= 0
+    v = jnp.maximum(vol, 0)
+    q = (p - scene.med_vol_lo[med_id]) * scene.med_vol_inv_ext[med_id]
+    inside = jnp.all((q >= 0.0) & (q < 1.0), axis=-1)
+    r = scene.volumes.shape[1]
+    ijk = jnp.clip((q * r).astype(jnp.int32), 0, r - 1)
+    dens = scene.volumes[v, ijk[..., 2], ijk[..., 1], ijk[..., 0]]
+    return jnp.where(has, jnp.where(inside, dens, 0.0), 1.0)
+
+
+def sample_distance_hetero(scene, med_id: jnp.ndarray, key,
+                           ro: jnp.ndarray, rd: jnp.ndarray,
+                           t_surf: jnp.ndarray, max_steps: int = 64):
+    """Woodcock (delta) tracking through grid-density media
+    (reference: src/medium/heterogeneous.cpp sampleDistance): free-flight
+    against the majorant; null collisions where the local density is
+    below it. Gray extinction (mean sigma_t channel) drives the tracking;
+    the per-channel ratio reweights the throughput.
+
+    Returns dict(t, scattered, weight) like sample_distance.
+    """
+    n = ro.shape[0]
+    sigma_t = scene.med_sigma_t[med_id]  # [N, 3]
+    sigma_bar = jnp.mean(sigma_t, axis=-1)
+    maj = scene.med_majorant[med_id] * sigma_bar  # [N]
+    in_medium = maj > 1e-12
+
+    def body(i, state):
+        t, done, scattered = state
+        k_i = jax.random.fold_in(key, i)
+        u1 = jax.random.uniform(k_i, (n,))
+        u2 = jax.random.uniform(jax.random.fold_in(k_i, 1), (n,))
+        step = -jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)) / jnp.maximum(maj, 1e-12)
+        t_new = t + step
+        escaped = t_new >= t_surf
+        p = ro + t_new[:, None] * rd
+        dens = density_at(scene, med_id, p)
+        real = u2 < dens * sigma_bar / jnp.maximum(maj, 1e-12)
+        fresh = ~done
+        t = jnp.where(fresh, jnp.minimum(t_new, t_surf), t)
+        scattered = scattered | (fresh & ~escaped & real)
+        done = done | escaped | (fresh & ~escaped & real)
+        return t, done, scattered
+
+    t0 = jnp.zeros(n)
+    done0 = ~in_medium
+    sc0 = jnp.zeros(n, bool)
+    t, done, scattered = jax.lax.fori_loop(0, max_steps, body, (t0, done0, sc0))
+    t = jnp.where(in_medium, jnp.where(done, t, t_surf), t_surf)
+    # Gray tracking: the free-flight pdf cancels the transmittance exactly,
+    # leaving albedo on scatter and 1 on escape. Spectral sigma_t collapses
+    # to its channel mean for heterogeneous media (the reference's
+    # heterogeneous.cpp is likewise single-channel density-driven).
+    albedo = scene.med_albedo[med_id]
+    w = jnp.where(scattered[:, None], albedo, 1.0)
+    w = jnp.where(in_medium[:, None], w, 1.0)
+    return {"t": t, "scattered": scattered & in_medium, "weight": w}
+
+
+def transmittance_hetero(scene, med_id: jnp.ndarray, key, ro, rd,
+                         dist: jnp.ndarray, max_steps: int = 64) -> jnp.ndarray:
+    """Unbiased binary transmittance estimate along a shadow segment via
+    delta tracking (1 survives, 0 absorbed), gray; homogeneous rows use
+    the analytic curve."""
+    hs = sample_distance_hetero(scene, med_id, key, ro, rd, dist, max_steps)
+    vol = scene.med_vol[med_id]
+    analytic = transmittance(scene, med_id, dist)
+    binary = jnp.where(hs["scattered"][:, None], 0.0, 1.0)
+    return jnp.where((vol >= 0)[:, None], binary, analytic)
 
 
 def transmittance(scene, med_id: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:

@@ -48,7 +48,8 @@ def render(
         lambda scene, key, ro, rd: trace_wave(
             scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
             nee=nee, bsdf_types=cfg.bsdf_types or None,
-            has_medium=cfg.has_medium, has_bump=cfg.has_bump,
+            has_medium=cfg.has_medium, has_hetero=cfg.has_hetero,
+            has_bump=cfg.has_bump,
         )
     )
 

@@ -56,7 +56,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium", "has_bump"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium", "has_hetero", "has_bump"))
 def trace_wave(
     scene,
     key,
@@ -68,6 +68,7 @@ def trace_wave(
     count_vertices: bool = False,
     bsdf_types: tuple | None = None,
     has_medium: bool = False,
+    has_hetero: bool = False,
     has_bump: bool = False,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
@@ -96,8 +97,15 @@ def trace_wave(
             from . import medium as med
 
             k, k_med = jax.random.split(k)
-            u_m = jax.random.uniform(k_med, (n,))
-            ms = med.sample_distance(scene, med_id, u_m, hit["t"])
+            if has_hetero:
+                # Woodcock tracking handles hetero AND homogeneous rows
+                # (homogeneous = density 1, majorant 1).
+                ms = med.sample_distance_hetero(
+                    scene, med_id, k_med, ro, rd, hit["t"]
+                )
+            else:
+                u_m = jax.random.uniform(k_med, (n,))
+                ms = med.sample_distance(scene, med_id, u_m, hit["t"])
             scattered = active & ms["scattered"]
             throughput = throughput * jnp.where(
                 active[..., None], ms["weight"], 1.0
@@ -179,7 +187,15 @@ def trace_wave(
                 * (w / jnp.maximum(ls["pdf"], 1e-20))[..., None]
             )
             if has_medium:
-                contrib = contrib * med.transmittance(scene, med_id, ls["dist"])
+                if has_hetero:
+                    contrib = contrib * med.transmittance_hetero(
+                        scene, med_id, jax.random.fold_in(k_nee, 2),
+                        it["p"], ls["d"], ls["dist"],
+                    )
+                else:
+                    contrib = contrib * med.transmittance(
+                        scene, med_id, ls["dist"]
+                    )
             li = li + jnp.where((cand & ~occ)[..., None], contrib, 0.0)
 
         # --- Medium interaction: NEE + phase sampling ---
@@ -199,10 +215,18 @@ def trace_wave(
                 w_m = jnp.where(
                     lsm["delta"], 1.0, mi_weight(lsm["pdf"], f_ph)
                 )
+                tr_m = (
+                    med.transmittance_hetero(
+                        scene, med_id, jax.random.fold_in(k_mn, 2),
+                        p_med, lsm["d"], lsm["dist"],
+                    )
+                    if has_hetero
+                    else med.transmittance(scene, med_id, lsm["dist"])
+                )
                 contrib_m = (
                     throughput
                     * lsm["radiance"]
-                    * med.transmittance(scene, med_id, lsm["dist"])
+                    * tr_m
                     * (f_ph * w_m / jnp.maximum(lsm["pdf"], 1e-20))[..., None]
                 )
                 cand_m = scattered & lsm["valid"] & (lsm["pdf"] > 0.0)

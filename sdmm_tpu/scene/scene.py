@@ -94,6 +94,14 @@ class SceneData(NamedTuple):
     tri_medium: jnp.ndarray  # [T] int32 interior medium id (0 = vacuum)
     tri_medium_ext: jnp.ndarray  # [T] int32 exterior medium id
     ambient_med: jnp.ndarray  # [] int32 camera/ambient medium id
+    # Heterogeneous media (reference: src/medium/heterogeneous.cpp +
+    # src/volume/gridvolume.cpp): per-medium density-grid id (-1 =
+    # homogeneous), grid bounds, and the Woodcock majorant density.
+    med_vol: jnp.ndarray  # [M] int32 index into volumes (-1 = none)
+    med_vol_lo: jnp.ndarray  # [M, 3]
+    med_vol_inv_ext: jnp.ndarray  # [M, 3]
+    med_majorant: jnp.ndarray  # [M] max density over the grid
+    volumes: jnp.ndarray  # [NV, R, R, R] density grids ([1,1,1,1] = none)
     # Delta lights: point / spot / directional (reference:
     # src/emitters/{point,spot,directional}.cpp). kind: 0=point, 1=spot,
     # 2=directional (pos holds the direction TOWARD the light).
@@ -145,6 +153,7 @@ class RenderConfig:
     # only these models (wavefront specialization).
     bsdf_types: tuple = ()
     has_medium: bool = False  # compile-out flag for volumetric code
+    has_hetero: bool = False  # any heterogeneous (grid-density) medium
     has_bump: bool = False  # compile-out flag for bump mapping
 
 
@@ -236,15 +245,30 @@ class SceneBuilder:
             "dir": d / np.linalg.norm(d), "cutoff": 180.0, "beam": 180.0,
         })
 
-    def add_medium(self, sigma_t, albedo=None, g: float = 0.0) -> int:
-        """Register a homogeneous medium; returns its table id (≥ 1)."""
-        self.media.append({
+    def add_medium(self, sigma_t, albedo=None, g: float = 0.0,
+                   density: np.ndarray | None = None,
+                   vol_lo=None, vol_hi=None) -> int:
+        """Register a medium; returns its table id (≥ 1).
+
+        ``density`` ([D, H, W] grid) makes the medium heterogeneous:
+        sigma_t(x) = density(x)·sigma_t inside [vol_lo, vol_hi]
+        (reference: src/medium/heterogeneous.cpp)."""
+        entry = {
             "sigma_t": np.asarray(sigma_t, dtype=np.float64).reshape(3),
             "albedo": np.asarray(
                 albedo if albedo is not None else np.ones(3), dtype=np.float64
             ).reshape(3),
             "g": float(g),
-        })
+        }
+        if density is not None:
+            entry["density"] = np.asarray(density, dtype=np.float32)
+            entry["vol_lo"] = np.asarray(
+                vol_lo if vol_lo is not None else np.zeros(3), dtype=np.float64
+            )
+            entry["vol_hi"] = np.asarray(
+                vol_hi if vol_hi is not None else np.ones(3), dtype=np.float64
+            )
+        self.media.append(entry)
         return len(self.media)  # row 0 is vacuum
 
     def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1,
@@ -426,6 +450,24 @@ class SceneBuilder:
             env_pdf = np.zeros((1, 1))
             env_select = 0.0
 
+        # Heterogeneous-media density grids: nearest-resampled to a fixed
+        # cube so lookups are one [NV, R, R, R] gather.
+        RV = 64
+        vol_ids = {}
+        vol_list = []
+        for i, m in enumerate(media_rows):
+            if "density" in m:
+                dgrid = m["density"]
+                dd, hh, ww = dgrid.shape
+                zi = np.clip(((np.arange(RV) + 0.5) * dd / RV).astype(int), 0, dd - 1)
+                yi = np.clip(((np.arange(RV) + 0.5) * hh / RV).astype(int), 0, hh - 1)
+                xi = np.clip(((np.arange(RV) + 0.5) * ww / RV).astype(int), 0, ww - 1)
+                vol_list.append(dgrid[zi][:, yi][:, :, xi])
+                vol_ids[i] = len(vol_list) - 1
+        vol_stack = (
+            np.stack(vol_list) if vol_list else np.zeros((1, 1, 1, 1), np.float32)
+        )
+
         # Kernel-native transposed/padded triangle layout.
         from ..ops.intersect_pallas import TRI_CHUNK
 
@@ -504,6 +546,28 @@ class SceneBuilder:
             tri_medium=i32(tri_medium),
             tri_medium_ext=i32(tri_medium_ext),
             ambient_med=i32(ambient_id),
+            med_vol=i32([-1] + [
+                (vol_ids[i] if "density" in m else -1)
+                for i, m in enumerate(media_rows)
+            ]),
+            med_vol_lo=f32(np.stack(
+                [np.zeros(3)] + [m.get("vol_lo", np.zeros(3)) for m in media_rows]
+            ) if media_rows else np.zeros((1, 3))),
+            med_vol_inv_ext=f32(np.stack(
+                [np.ones(3)]
+                + [
+                    1.0 / np.maximum(
+                        m.get("vol_hi", np.ones(3)) - m.get("vol_lo", np.zeros(3)),
+                        1e-12,
+                    )
+                    for m in media_rows
+                ]
+            ) if media_rows else np.ones((1, 3))),
+            med_majorant=f32([0.0] + [
+                float(m["density"].max()) if "density" in m else 1.0
+                for m in media_rows
+            ]),
+            volumes=f32(vol_stack),
             cam_to_world=f32(self.cam_to_world),
             cam_tan_half_fov=f32(np.tan(0.5 * fov)),
             aabb_lo=f32(aabb.lo if len(verts) else np.zeros(3)),
@@ -521,6 +585,7 @@ class SceneBuilder:
             rr_depth=self.rr_depth, fov_axis=self.fov_axis,
             bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
             has_medium=self.medium is not None or len(self.media) > 0,
+            has_hetero=any("density" in m for m in media_rows),
             has_bump=any(b.get("bump", -1) >= 0 for b in self.bsdfs),
         )
         return data, cfg

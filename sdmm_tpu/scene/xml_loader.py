@@ -483,6 +483,36 @@ class XMLLoader:
                 # Per-shape interior medium (reference: Shape::addChild
                 # medium handling, librender/shape.cpp).
                 mp = _props(sub, self.variables)
+                if sub.get("type") == "heterogeneous":
+                    # Grid-density medium (reference: medium/heterogeneous.cpp
+                    # + volume/gridvolume.cpp).
+                    scale = float(mp.get("scale", 1.0))
+                    density, v_lo, v_hi = None, None, None
+                    g = 0.0
+                    for ch in sub:
+                        if ch.tag == "volume" and ch.get("name") == "density":
+                            vp = _props(ch, self.variables)
+                            if vp.get("filename"):
+                                from .volume import load_vol
+
+                                try:
+                                    density, v_lo, v_hi = load_vol(
+                                        os.path.join(self.base_dir, vp["filename"])
+                                    )
+                                except Exception:
+                                    density = None
+                        elif ch.tag == "phase":
+                            g = float(_props(ch, self.variables).get("g", 0.0))
+                    if density is None:  # unreadable/LFS stub → thin fog
+                        density = np.ones((2, 2, 2), np.float32)
+                        v_lo, v_hi = np.zeros(3), np.ones(3)
+                    alb = np.asarray(mp.get("albedo", 0.8), dtype=np.float64).reshape(-1)
+                    alb = alb if alb.size == 3 else np.full(3, float(alb[0]))
+                    interior_med = self.builder.add_medium(
+                        np.full(3, scale), alb, g,
+                        density=density, vol_lo=v_lo, vol_hi=v_hi,
+                    )
+                    continue
                 if "sigmaT" in mp:
                     sigma_t = np.asarray(mp["sigmaT"]).reshape(3)
                     albedo = np.asarray(mp.get("albedo", np.ones(3))).reshape(3)

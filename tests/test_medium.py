@@ -117,3 +117,65 @@ def test_bounded_medium_matches_beer_lambert():
     # Central rays cross ~1 unit of fog: T = exp(-0.8).
     expected = c * np.exp(-0.8)
     assert abs(f - expected) / expected < 0.08, (f, expected, c)
+
+
+def test_vol_roundtrip(tmp_path):
+    from sdmm_tpu.scene.volume import load_vol, save_vol
+
+    rng = np.random.default_rng(0)
+    dens = rng.uniform(0.0, 2.0, (4, 6, 8)).astype(np.float32)
+    p = str(tmp_path / "t.vol")
+    save_vol(p, dens, [0, 0, 0], [1, 2, 3])
+    d2, lo, hi = load_vol(p)
+    np.testing.assert_allclose(d2, dens)
+    np.testing.assert_allclose(lo, [0, 0, 0])
+    np.testing.assert_allclose(hi, [1, 2, 3])
+
+
+def test_heterogeneous_constant_density_matches_homogeneous():
+    """Woodcock tracking through a constant-density grid must reproduce the
+    analytic homogeneous result (reference: heterogeneous.cpp vs
+    homogeneous.cpp equivalence at flat density)."""
+    from sdmm_tpu.scene.scene import BSDF_NULL
+
+    sigma = 0.8
+
+    def build(hetero):
+        b = SceneBuilder()
+        black = b.add_bsdf(BSDF_DIFFUSE, albedo=[0, 0, 0])
+        em = b.add_emitter([5.0, 5.0, 5.0])
+        m = np.eye(4)
+        m[:3, :3] = np.diag([6.0, 6.0, 1.0])
+        m[2, 3] = -3.0
+        b.add_shape(shp.make_rectangle(m), black, em)
+        null = b.add_bsdf(BSDF_NULL)
+        c = np.eye(4)
+        c[:3, :3] = np.diag([2.0, 2.0, 0.5])
+        c[2, 3] = -1.0  # cube z in [-1.5, -0.5]
+        if hetero:
+            fog = b.add_medium(
+                np.full(3, sigma), np.zeros(3), 0.0,
+                density=np.ones((4, 4, 4), np.float32),
+                vol_lo=[-2.0, -2.0, -1.5], vol_hi=[2.0, 2.0, -0.5],
+            )
+        else:
+            fog = b.add_medium(np.full(3, sigma), np.zeros(3), 0.0)
+        b.add_shape(shp.make_cube(c), null, interior=fog)
+        cam = np.eye(4)
+        cam[2, 2] = -1.0
+        cam[0, 0] = -1.0
+        b.set_sensor(cam, fov_deg=20.0, width=16, height=16)
+        return b.build()
+
+    s_het, c_het = build(True)
+    assert c_het.has_hetero
+    s_hom, c_hom = build(False)
+    c_het.max_depth = c_hom.max_depth = 8
+    c_het.rr_depth = c_hom.rr_depth = 8
+    het = render(s_het, c_het, spp=256, seed=3, rays_per_wave=256, nee=False)
+    hom = render(s_hom, c_hom, spp=256, seed=5, rays_per_wave=256, nee=False)
+    hc = np.asarray(het["image"])[6:10, 6:10, 0].mean()
+    mc = np.asarray(hom["image"])[6:10, 6:10, 0].mean()
+    expected = 5.0 * np.exp(-sigma)
+    assert abs(hc - mc) / mc < 0.1, (hc, mc)
+    assert abs(hc - expected) / expected < 0.1, (hc, expected)
