@@ -275,7 +275,21 @@ class XMLLoader:
                         # LFS-stub/unreadable asset → scaled constant.
                         self.builder.env_radiance = np.full(3, scale)
                 elif etype in ("sky", "sun", "sunsky"):
+                    # Preetham model baked to an envmap (scene/sunsky.py);
+                    # reference: src/emitters/{sun,sky,sunsky}.cpp.
+                    from .sunsky import make_sunsky_envmap
+
                     scale = float(p.get("scale", 1.0))
+                    turb = float(p.get("turbidity", 3.0))
+                    sd = p.get("sunDirection", np.array([0.3, 1.0, 0.3]))
+                    sd = np.asarray(sd, dtype=np.float64).reshape(-1)[:3]
+                    self.builder.env_map = make_sunsky_envmap(
+                        sd, turbidity=turb,
+                        with_sky=etype in ("sky", "sunsky"),
+                        with_sun=etype in ("sun", "sunsky"),
+                        sun_scale=float(p.get("sunScale", 1.0)),
+                        sky_scale=float(p.get("skyScale", 1.0)),
+                    )
                     self.builder.env_radiance = np.full(3, scale)
 
     def _sensor(self, el):

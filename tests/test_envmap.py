@@ -84,3 +84,50 @@ def test_env_select_prob_zero_without_map():
     scene, _ = b.build()
     assert float(scene.env_select_prob) == 0.0
     assert scene.env_pdf.shape == (1, 1)
+
+
+def test_sunsky_envmap_properties():
+    """Preetham sky (reference: src/emitters/{sun,sky,sunsky}.cpp):
+    brighter near the sun, darkest far away, black below the horizon,
+    sun disk dominates when enabled."""
+    from sdmm_tpu.scene.sunsky import make_sunsky_envmap
+
+    sun = np.array([0.3, 0.8, 0.2])
+    sky = make_sunsky_envmap(sun, turbidity=3.0, resolution=64, with_sun=False)
+    assert sky.shape == (64, 128, 3)
+    assert np.isfinite(sky).all() and (sky >= 0).all()
+    # Below the horizon (theta > pi/2 -> rows >= 32) is black.
+    assert sky[34:].max() == 0.0
+    # Circumsolar brightening: the texel nearest the sun outshines the
+    # darkest above-horizon texel by a wide margin.
+    he, we = 64, 128
+    sun_n = sun / np.linalg.norm(sun)
+    v = np.arccos(sun_n[1]) / np.pi
+    u = 0.5 + np.arctan2(sun_n[0], -sun_n[2]) / (2 * np.pi)
+    lum = sky[: he // 2 - 2].mean(axis=-1)
+    near = sky[int(v * he), int(u * we)].mean()
+    assert near > 3.0 * lum[lum > 0].min()
+
+    both = make_sunsky_envmap(sun, turbidity=3.0, resolution=64, with_sun=True)
+    assert both.max() > 50.0 * sky.max()  # sun disk dominates
+
+
+def test_sunsky_render_smoke():
+    from sdmm_tpu.render.renderer import render
+    from sdmm_tpu.scene.sunsky import make_sunsky_envmap
+
+    b = SceneBuilder()
+    m = b.add_bsdf(BSDF_DIFFUSE, albedo=[0.5, 0.5, 0.5])
+    b.add_shape(rectangle(np.diag([1.0, 1.0, 1.0, 1.0])), m)
+    b.env_map = make_sunsky_envmap([0.4, 1.0, 0.2], resolution=32)
+    b.env_radiance = np.ones(3)
+    look = np.eye(4)
+    look[:3, 3] = [0.0, 1.0, 4.0]
+    look[2, 2] = -1.0
+    b.set_sensor(look, 40.0, 16, 16)
+    scene, cfg = b.build()
+    assert float(scene.env_select_prob) > 0.0  # NEE CDF built from the sky
+    cfg.max_depth = 3
+    res = render(scene, cfg, spp=16, seed=1)
+    img = np.asarray(res["image"])
+    assert np.isfinite(img).all() and img.mean() > 0.0
