@@ -21,16 +21,34 @@ EPS = 1e-6
 
 
 def _mt_chunk(ro, rd, v0, e1, e2, t_max):
-    """Möller–Trumbore for [N] rays × [C] tris → per-pair (t, u, v, hit)."""
-    # ro, rd: [N, 3]; v0, e1, e2: [C, 3]
-    pvec = jnp.cross(rd[:, None, :], e2[None, :, :])  # [N, C, 3]
-    det = jnp.sum(e1[None] * pvec, axis=-1)  # [N, C]
+    """Möller–Trumbore for [N] rays × [C] tris → per-pair (t, u, v, hit).
+
+    Component-scalarized: every intermediate is a flat [N, C] array built
+    from [N,1]×[1,C] broadcasts. The vector form ([N,C,3] cross products)
+    forced XLA to materialize six ~[N,C,3] fusions per sweep in HBM —
+    profiled at 70% of the whole render step; the scalar form fuses into a
+    couple of [N,C] elementwise+reduce kernels.
+    """
+    rox, roy, roz = (ro[:, i : i + 1] for i in range(3))  # [N,1]
+    rdx, rdy, rdz = (rd[:, i : i + 1] for i in range(3))
+    v0x, v0y, v0z = (v0[None, :, i] for i in range(3))  # [1,C]
+    e1x, e1y, e1z = (e1[None, :, i] for i in range(3))
+    e2x, e2y, e2z = (e2[None, :, i] for i in range(3))
+
+    px = rdy * e2z - rdz * e2y  # [N,C]
+    py = rdz * e2x - rdx * e2z
+    pz = rdx * e2y - rdy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = ro[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(rd[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    tx = rox - v0x
+    ty = roy - v0y
+    tz = roz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     hit = (
         (jnp.abs(det) > 1e-12)
         & (u >= 0.0)
