@@ -199,9 +199,16 @@ def render_pool(
         done = alive & ~survive
         li_s = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
         val = jnp.where(done[:, None], li_s, 0.0)
-        c["image"] = c["image"].at[c["pix"]].add(val)
-        c["sqr"] = c["sqr"].at[c["pix"]].add(val * val)
-        c["weight"] = c["weight"].at[c["pix"]].add(done.astype(jnp.float32))
+        # One fused scatter for (rgb, rgb², weight): three separate
+        # .at[].add scatters cost ~37% of the whole step (XPlane profile);
+        # packing the seven accumulators into one [n_pix, 8] row makes it
+        # a single scatter at the same byte volume.
+        row = jnp.concatenate(
+            [val, val * val,
+             done.astype(jnp.float32)[:, None],
+             jnp.zeros((n_lanes, 1))], axis=-1,
+        )
+        c["film"] = c["film"].at[c["pix"]].add(row)
 
         offset_sign = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
         c["ro"] = it["p"] + it["ng"] * offset_sign[:, None]
@@ -218,9 +225,7 @@ def render_pool(
 
     init = {
         "step": jnp.int32(0),
-        "image": jnp.zeros((n_pix, 3)),
-        "sqr": jnp.zeros((n_pix, 3)),
-        "weight": jnp.zeros((n_pix,)),
+        "film": jnp.zeros((n_pix, 8)),
         "pix": jnp.zeros((n_lanes,), jnp.int32),
         "cursor": jnp.int32(0),  # global sample counter
         "alive": jnp.zeros((n_lanes,), bool),
@@ -237,9 +242,9 @@ def render_pool(
     }
     out = jax.lax.while_loop(cond, body, init)
     return {
-        "image": out["image"],
-        "sqr": out["sqr"],
-        "weight": out["weight"],
+        "image": out["film"][:, 0:3],
+        "sqr": out["film"][:, 3:6],
+        "weight": out["film"][:, 6],
         "n_vertices": out["n_vert"],
         "steps": out["step"],
     }

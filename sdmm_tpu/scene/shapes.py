@@ -157,6 +157,163 @@ def make_sphere(
     return soup
 
 
+def make_disk(
+    to_world: np.ndarray, n_phi: int = 64, flip_normals: bool = False
+) -> TriSoup:
+    """Unit disk in the z=0 plane (reference: src/shapes/disk.cpp),
+    tessellated as a triangle fan with smooth +z normals."""
+    phi = np.linspace(0.0, 2 * np.pi, n_phi + 1)
+    rim = np.stack([np.cos(phi), np.sin(phi), np.zeros_like(phi)], axis=-1)
+    verts, uvs = [], []
+    center = np.zeros(3)
+    for j in range(n_phi):
+        tri = np.asarray([center, rim[j], rim[j + 1]])
+        verts.append(tri)
+        uvs.append(0.5 * (tri[:, :2] + 1.0))
+    verts = np.asarray(verts)
+    uvs = np.asarray(uvs)
+    normals = np.broadcast_to(
+        np.array([0.0, 0.0, 1.0]), verts.shape
+    ).copy()
+    verts_w = _transform_points(to_world, verts.reshape(-1, 3)).reshape(-1, 3, 3)
+    normals_w = _transform_normals(to_world, normals.reshape(-1, 3)).reshape(-1, 3, 3)
+    if flip_normals:
+        normals_w = -normals_w
+        verts_w = verts_w[:, ::-1, :]
+        uvs = uvs[:, ::-1, :]
+    soup = TriSoup()
+    soup.add(verts_w, normals_w, uvs)
+    return soup
+
+
+def make_cylinder(
+    p0: np.ndarray,
+    p1: np.ndarray,
+    radius: float,
+    to_world: np.ndarray | None = None,
+    n_phi: int = 32,
+    flip_normals: bool = False,
+) -> TriSoup:
+    """Open cylinder from p0 to p1 (reference: src/shapes/cylinder.cpp),
+    tessellated with smooth radial normals. Like the reference, the end
+    caps are open."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    z = axis / max(length, 1e-12)
+    # Orthonormal frame around the axis.
+    a = np.array([1.0, 0.0, 0.0]) if abs(z[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    x = np.cross(z, a)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    phi = np.linspace(0.0, 2 * np.pi, n_phi + 1)
+    ring_n = np.outer(np.cos(phi), x) + np.outer(np.sin(phi), y)  # [n_phi+1, 3]
+    lo = p0 + radius * ring_n
+    hi = p1 + radius * ring_n
+    verts, normals, uvs = [], [], []
+    for j in range(n_phi):
+        quad_v = [lo[j], hi[j], hi[j + 1], lo[j + 1]]
+        quad_n = [ring_n[j], ring_n[j], ring_n[j + 1], ring_n[j + 1]]
+        u0, u1 = phi[j] / (2 * np.pi), phi[j + 1] / (2 * np.pi)
+        quad_uv = [[u0, 0], [u0, 1], [u1, 1], [u1, 0]]
+        for idx in ([0, 1, 2], [0, 2, 3]):
+            verts.append([quad_v[i] for i in idx])
+            normals.append([quad_n[i] for i in idx])
+            uvs.append([quad_uv[i] for i in idx])
+    verts = np.asarray(verts)
+    normals = np.asarray(normals)
+    uvs = np.asarray(uvs, dtype=np.float64)
+    if to_world is not None:
+        verts = _transform_points(to_world, verts.reshape(-1, 3)).reshape(-1, 3, 3)
+        normals = _transform_normals(to_world, normals.reshape(-1, 3)).reshape(-1, 3, 3)
+    if flip_normals:
+        normals = -normals
+        verts = verts[:, ::-1, :]
+        uvs = uvs[:, ::-1, :]
+    soup = TriSoup()
+    soup.add(verts, normals, uvs)
+    return soup
+
+
+def load_hair(
+    filename: str,
+    radius: float = 0.025,
+    to_world: np.ndarray | None = None,
+    n_sides: int = 4,
+    reduction: float = 0.0,
+    angle_threshold_deg: float = 1.0,
+) -> TriSoup:
+    """Hair fiber curves → cylinder tessellation.
+
+    Parses the reference's two formats (src/shapes/hair.cpp:612-784): the
+    "BINARY_HAIR" float32 stream where an inf x-coordinate marks a new
+    fiber, and the whitespace text format where a blank line starts a new
+    fiber. Nearly-collinear interior vertices are dropped (angleThreshold),
+    and `reduction` randomly drops that fraction of fibers (with the
+    radius enlarged to compensate, as the reference does).
+    """
+    fibers: list[np.ndarray] = []
+    with open(filename, "rb") as f:
+        header = f.read(11)
+        if header == b"BINARY_HAIR":
+            import struct
+
+            (n_verts,) = struct.unpack("<I", f.read(4))
+            data = np.frombuffer(f.read(4 * 3 * n_verts), dtype="<f4").reshape(-1, 3)
+            cur: list[np.ndarray] = []
+            for v in data:
+                if np.isinf(v[0]):
+                    if len(cur) >= 2:
+                        fibers.append(np.asarray(cur))
+                    cur = []
+                else:
+                    cur.append(v.astype(np.float64))
+            if len(cur) >= 2:
+                fibers.append(np.asarray(cur))
+        else:
+            f.seek(0)
+            cur = []
+            for line in f.read().decode("utf-8", "ignore").splitlines():
+                parts = line.split()
+                if len(parts) < 3:
+                    if len(cur) >= 2:
+                        fibers.append(np.asarray(cur))
+                    cur = []
+                    continue
+                cur.append(np.array([float(x) for x in parts[:3]]))
+            if len(cur) >= 2:
+                fibers.append(np.asarray(cur))
+    if reduction > 0:
+        rng = np.random.default_rng(0)
+        keep = rng.random(len(fibers)) >= reduction
+        fibers = [fb for fb, k in zip(fibers, keep) if k]
+        radius *= 1.0 / np.sqrt(max(1.0 - reduction, 1e-6))
+    cos_thresh = np.cos(np.deg2rad(angle_threshold_deg))
+    soup = TriSoup()
+    for fiber in fibers:
+        # Simplify: drop interior vertices where the turn is below threshold.
+        pts = [fiber[0]]
+        for i in range(1, len(fiber) - 1):
+            d0 = fiber[i] - pts[-1]
+            d1 = fiber[i + 1] - fiber[i]
+            n0, n1 = np.linalg.norm(d0), np.linalg.norm(d1)
+            if n0 < 1e-12:
+                continue
+            if n1 > 1e-12 and np.dot(d0, d1) / (n0 * n1) > cos_thresh:
+                continue
+            pts.append(fiber[i])
+        pts.append(fiber[-1])
+        for a, b in zip(pts[:-1], pts[1:]):
+            if np.linalg.norm(b - a) < 1e-12:
+                continue
+            seg = make_cylinder(a, b, radius, n_phi=n_sides)
+            soup.add(*seg.concat())
+    if to_world is not None:
+        soup = soup.transformed(to_world)
+    return soup
+
+
 def mesh_to_soup(
     mesh: dict, to_world: np.ndarray | None = None, flip_normals: bool = False,
 ) -> TriSoup:

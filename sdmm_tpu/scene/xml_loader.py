@@ -565,6 +565,30 @@ class XMLLoader:
                     )
             radius = float(p.get("radius", 1.0))
             soup = shp.make_sphere(center, radius, to_world, flip_normals=flip)
+        elif stype == "disk":
+            soup = shp.make_disk(to_world, flip_normals=flip)
+        elif stype == "cylinder":
+            def _pt(name, default):
+                for sub in el:
+                    if sub.tag == "point" and sub.get("name") == name:
+                        return np.array(
+                            [float(_subst(sub.get(ax, "0"), self.variables)) for ax in "xyz"]
+                        )
+                return np.asarray(default, dtype=np.float64)
+
+            soup = shp.make_cylinder(
+                _pt("p0", [0, 0, 0]), _pt("p1", [0, 0, 1]),
+                float(p.get("radius", 1.0)), to_world, flip_normals=flip,
+            )
+        elif stype == "hair":
+            fname = os.path.join(base_dir, p.get("filename"))
+            soup = shp.load_hair(
+                fname,
+                radius=float(p.get("radius", 0.025)),
+                to_world=to_world,
+                reduction=float(p.get("reduction", 0.0)),
+                angle_threshold_deg=float(p.get("angleThreshold", 1.0)),
+            )
         elif stype == "obj":
             fname = os.path.join(base_dir, p.get("filename"))
             soup = shp.load_obj(

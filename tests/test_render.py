@@ -162,3 +162,50 @@ def test_textured_albedo():
     # Strong spatial variation from the checker pattern.
     lum = center.mean(-1)
     assert lum.std() > 0.15 * lum.mean(), (lum.mean(), lum.std())
+
+
+def test_disk_cylinder_hair_shapes(tmp_path):
+    # Disk: area of the unit disk tessellation ≈ pi.
+    disk = shp.make_disk(np.eye(4))
+    tris = disk.concat()[0]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1
+    ).sum()
+    assert abs(area - np.pi) < 0.02 * np.pi
+
+    # Cylinder: lateral area ≈ 2*pi*r*h, normals unit and radial.
+    cyl = shp.make_cylinder(np.zeros(3), np.array([0, 0, 2.0]), 0.5)
+    tris, ns, _ = cyl.concat()
+    area = 0.5 * np.linalg.norm(
+        np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1
+    ).sum()
+    assert abs(area - 2 * np.pi * 0.5 * 2.0) < 0.05 * 2 * np.pi
+    assert np.allclose(np.linalg.norm(ns, axis=-1), 1.0, atol=1e-6)
+    assert np.max(np.abs(ns[..., 2])) < 1e-6
+
+    # Hair: text format, two fibers -> segments of cylinders.
+    hf = tmp_path / "strands.hair"
+    hf.write_text("0 0 0\n0 0 1\n0 0 2\n\n1 0 0\n1 0 1\n")
+    soup = shp.load_hair(str(hf), radius=0.01)
+    tris, ns, _ = soup.concat()
+    assert len(tris) > 0
+    assert np.all(np.isfinite(tris))
+
+    # Hair: binary format round-trip.
+    import struct
+
+    pts = [(0, 0, 0), (0, 0, 1), (float("inf"), 0, 0), (1, 0, 0), (1, 0, 1)]
+    bf = tmp_path / "strands.bin"
+    with open(bf, "wb") as f:
+        f.write(b"BINARY_HAIR")
+        f.write(struct.pack("<I", len(pts)))
+        for v in pts:
+            f.write(struct.pack("<3f", *v))
+    soup2 = shp.load_hair(str(bf), radius=0.01)
+    # Text fiber 1 is collinear -> simplified to one segment; both files
+    # then contain exactly two segments.
+    assert len(soup2.concat()[0]) == len(tris)
+    seg_tris = len(
+        shp.make_cylinder(np.zeros(3), np.array([0, 0, 1.0]), 0.01, n_phi=4).concat()[0]
+    )
+    assert len(tris) == 2 * seg_tris
