@@ -94,6 +94,39 @@ def cmd_render(args):
                     os.path.join(out_dir, f"iteration_sqr{i:05d}.exr"),
                     (it["sqr"] / n).reshape(cfg.height, cfg.width, 3),
                 )
+    elif integrator in ("direct", "ao", "field"):
+        from .render import classic
+        from .render.renderer import render as render_fn
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        if integrator == "direct":
+            es = int(props.get("emitterSamples", props.get("shadingSamples", 1)))
+            bs = int(props.get("bsdfSamples", props.get("shadingSamples", 1)))
+            trace_fn = lambda scene, key, ro, rd: classic.trace_direct(  # noqa: E731
+                scene, key, ro, rd, emitter_samples=es, bsdf_samples=bs,
+                bsdf_types=cfg.bsdf_types or None, has_bump=cfg.has_bump,
+            )
+        elif integrator == "ao":
+            rl = float(props.get("rayLength", -1.0))
+            ss = int(props.get("shadingSamples", 1))
+            trace_fn = lambda scene, key, ro, rd: classic.trace_ao(  # noqa: E731
+                scene, key, ro, rd, ray_length=rl, shading_samples=ss,
+            )
+        else:
+            fld = props.get("field", "shNormal")
+            trace_fn = lambda scene, key, ro, rd: classic.trace_field(  # noqa: E731
+                scene, key, ro, rd, field=fld, bsdf_types=cfg.bsdf_types or None,
+            )
+        res = render_fn(scene, cfg, spp=spp, seed=builder.seed, trace_fn=trace_fn,
+                        sampler=args.sampler or builder.sampler,
+                        rfilter=args.rfilter or builder.rfilter)
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     else:
         nee = integrator in ("gt", "volpath")
         sampler = args.sampler or builder.sampler
@@ -152,7 +185,9 @@ def main(argv=None):
     r.add_argument("-o", "--output")
     r.add_argument("-D", "--define", action="append", metavar="key=val",
                    help="scene variable override (reference: mitsuba -D)")
-    r.add_argument("--integrator", choices=["gt", "volpath", "path", "sdmm", "ppg"])
+    r.add_argument("--integrator",
+                   choices=["gt", "volpath", "path", "sdmm", "ppg",
+                            "direct", "ao", "field"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)

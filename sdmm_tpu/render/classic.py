@@ -1,0 +1,223 @@
+"""Classic single-bounce / utility integrators: direct, ao, field, multichannel.
+
+TPU-native wavefront equivalents of the reference's small integrator plugins
+(reference: mitsuba/src/integrators/direct/direct.cpp,
+mitsuba/src/integrators/direct/ao.cpp, mitsuba/src/integrators/misc/field.cpp,
+mitsuba/src/integrators/misc/multichannel.cpp). Each is a trace function over
+a flat ray wave, pluggable into render.renderer.render via ``trace_fn``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import bsdf as bsdf_mod
+from ..core.frame import to_local, to_world
+from ..scene import emitters
+from . import intersect as isect
+from .volpath import RAY_EPS, mi_weight, shading_frame
+
+
+@partial(
+    jax.jit,
+    static_argnames=("emitter_samples", "bsdf_samples", "bsdf_types", "has_bump"),
+)
+def trace_direct(
+    scene,
+    key,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    emitter_samples: int = 1,
+    bsdf_samples: int = 1,
+    bsdf_types: tuple | None = None,
+    has_bump: bool = False,
+):
+    """Direct illumination with multi-sample MIS.
+
+    Mirrors the reference's ``direct`` integrator: ``emitterSamples`` light
+    samples and ``bsdfSamples`` BSDF samples per shading point, each
+    MIS-weighted with fractional weights 1/m, 1/n folded into the heuristic
+    (reference: direct.cpp Li(), m_weightLum/m_weightBSDF).
+    """
+    n = ro.shape[0]
+    pdf_over_area = emitters.tri_pdf_over_area(scene)
+
+    hit = isect.intersect(scene, ro, rd)
+    it = isect.surface_interaction(scene, ro, rd, hit)
+    if has_bump:
+        it["ns"] = isect.apply_bumpmap(scene, it)
+
+    li = jnp.zeros((n, 3))
+    # Visible emitters and the environment contribute directly.
+    li = li + jnp.where(
+        hit["valid"][:, None], emitters.eval_emitter(scene, it, -rd), 0.0
+    )
+    li = li + jnp.where(~hit["valid"][:, None], emitters.env_eval(scene, rd), 0.0)
+
+    params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
+    s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
+    wi_local = to_local(s_ax, t_ax, n_ax, -rd)
+    smooth = bsdf_mod.has_smooth(params)
+    on_surface = hit["valid"] & smooth
+
+    w_lum = 1.0 / max(emitter_samples, 1)
+    w_bsdf = 1.0 / max(bsdf_samples, 1)
+
+    # --- Emitter sampling strategy ---
+    for i in range(emitter_samples):
+        k = jax.random.fold_in(key, i)
+        u1 = jax.random.uniform(k, (n,))
+        u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2))
+        ls = emitters.sample_direct(scene, it["p"], u1, u2)
+        wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
+        f, pdf_b = bsdf_mod.eval_pdf_full(params, wi_local, wo_l, types=bsdf_types)
+        cand = on_surface & ls["valid"] & (ls["pdf"] > 0.0)
+        shadow_o = it["p"] + it["ng"] * jnp.where(
+            jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
+        )[:, None]
+        occ = isect.occluded(scene, shadow_o, ls["d"], ls["dist"] * (1.0 - 1e-3))
+        w = jnp.where(
+            ls["delta"], 1.0, mi_weight(ls["pdf"] * w_lum, pdf_b * w_bsdf)
+        )
+        contrib = f * ls["radiance"] * (w / jnp.maximum(ls["pdf"], 1e-20))[:, None]
+        li = li + jnp.where((cand & ~occ)[:, None], contrib * w_lum, 0.0)
+
+    # --- BSDF sampling strategy ---
+    for i in range(bsdf_samples):
+        k = jax.random.fold_in(key, 1000 + i)
+        u0 = jax.random.uniform(k, (n,))
+        u1 = jax.random.uniform(jax.random.fold_in(k, 1), (n,))
+        u2 = jax.random.uniform(jax.random.fold_in(k, 2), (n, 2))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
+        wo_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
+        good = hit["valid"] & jnp.any(bs["weight"] > 0.0, axis=-1)
+        o2 = it["p"] + it["ng"] * jnp.where(
+            jnp.sum(it["ng"] * wo_world, axis=-1) > 0, RAY_EPS, -RAY_EPS
+        )[:, None]
+        hit2 = isect.intersect(scene, o2, wo_world)
+        it2 = isect.surface_interaction(scene, o2, wo_world, hit2)
+        le2 = emitters.eval_emitter(scene, it2, -wo_world)
+        pdf_nee = emitters.pdf_direct_hit(
+            scene, pdf_over_area, hit2["tri"], wo_world, hit2["t"]
+        )
+        w = jnp.where(
+            bs["delta"], 1.0, mi_weight(bs["pdf"] * w_bsdf, pdf_nee * w_lum)
+        )
+        li = li + jnp.where(
+            (good & hit2["valid"])[:, None], bs["weight"] * le2 * w[:, None] * w_bsdf, 0.0
+        )
+        # Environment on miss.
+        if scene.env_pdf.shape[0] > 1:
+            pdf_env = emitters.pdf_env_dir(scene, wo_world) * scene.env_select_prob
+            w_env = jnp.where(bs["delta"], 1.0, mi_weight(bs["pdf"] * w_bsdf, pdf_env * w_lum))
+        else:
+            w_env = jnp.ones(n)
+        li = li + jnp.where(
+            (good & ~hit2["valid"])[:, None],
+            bs["weight"] * emitters.env_eval(scene, wo_world) * w_env[:, None] * w_bsdf,
+            0.0,
+        )
+    return li
+
+
+@partial(jax.jit, static_argnames=("shading_samples", "ray_length"))
+def trace_ao(
+    scene,
+    key,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    ray_length: float = -1.0,
+    shading_samples: int = 1,
+):
+    """Ambient occlusion (reference: direct/ao.cpp).
+
+    rayLength < 0 → half the scene bounding-sphere radius, as the reference
+    (ao.cpp:77-79). Cosine-weighted hemisphere sampling means the estimator
+    is simply the fraction of unoccluded rays.
+    """
+    n = ro.shape[0]
+    if ray_length < 0:
+        radius = 0.5 * jnp.linalg.norm(scene.aabb_hi - scene.aabb_lo) * 0.5
+    else:
+        radius = jnp.asarray(ray_length)
+    hit = isect.intersect(scene, ro, rd)
+    it = isect.surface_interaction(scene, ro, rd, hit)
+    from ..core import warp
+    from ..core.frame import coordinate_system
+
+    # Frame aligned to the shading normal flipped toward the viewer.
+    cos_i = jnp.sum(it["ns"] * -rd, axis=-1)
+    nrm = jnp.where(cos_i[:, None] < 0, -it["ns"], it["ns"])
+    s_ax, t_ax = coordinate_system(nrm)
+    acc = jnp.zeros((n,))
+    for i in range(shading_samples):
+        u2 = jax.random.uniform(jax.random.fold_in(key, i), (n, 2))
+        d_local = warp.square_to_cosine_hemisphere(u2)
+        d = to_world(s_ax, t_ax, nrm, d_local)
+        o = it["p"] + nrm * RAY_EPS
+        occ = isect.occluded(scene, o, d, jnp.full((n,), radius))
+        acc = acc + jnp.where(hit["valid"] & ~occ, 1.0, 0.0)
+    val = acc / shading_samples
+    return jnp.broadcast_to(val[:, None], (n, 3))
+
+
+FIELDS = (
+    "position", "relPosition", "distance", "geoNormal", "shNormal",
+    "uv", "albedo", "shapeIndex", "primIndex",
+)
+
+
+@partial(jax.jit, static_argnames=("field", "bsdf_types"))
+def trace_field(scene, key, ro, rd, field: str = "shNormal",
+                bsdf_types: tuple | None = None):
+    """AOV extraction (reference: misc/field.cpp) — one intersection, no MC."""
+    n = ro.shape[0]
+    hit = isect.intersect(scene, ro, rd)
+    it = isect.surface_interaction(scene, ro, rd, hit)
+    if field == "position":
+        val = it["p"]
+    elif field == "relPosition":
+        # Camera-space position (reference: its.p transformed by worldToCamera).
+        rot = scene.cam_to_world[:3, :3]
+        val = (it["p"] - scene.cam_to_world[:3, 3]) @ rot  # R^T (p - o)
+    elif field == "distance":
+        val = jnp.broadcast_to(hit["t"][:, None], (n, 3))
+    elif field == "geoNormal":
+        val = it["ng"]
+    elif field == "shNormal":
+        val = it["ns"]
+    elif field == "uv":
+        val = jnp.concatenate([it["uv"], jnp.zeros((n, 1))], axis=-1)
+    elif field == "albedo":
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
+        val = params["albedo"]
+    elif field == "shapeIndex" or field == "primIndex":
+        # Flat-triangle scenes: both report the triangle id.
+        val = jnp.broadcast_to(hit["tri"].astype(jnp.float32)[:, None], (n, 3))
+    else:
+        raise ValueError(f"unknown field {field!r} (one of {FIELDS})")
+    return jnp.where(hit["valid"][:, None], val, 0.0)
+
+
+def render_multichannel(scene, cfg, fields=("position", "shNormal", "albedo",
+                                            "distance"), spp: int = 4,
+                        seed: int = 1234):
+    """Render several AOV channels in one pass over the camera rays
+    (reference: misc/multichannel.cpp composes child integrators into one
+    multi-channel EXR). Returns {name: [H,W,3]}.
+    """
+    from .renderer import render
+
+    out = {}
+    for f in fields:
+        res = render(
+            scene, cfg, spp=spp, seed=seed,
+            trace_fn=lambda scene, key, ro, rd, _f=f: trace_field(
+                scene, key, ro, rd, field=_f, bsdf_types=cfg.bsdf_types or None
+            ),
+        )
+        out[f] = res["image"]
+    return out
