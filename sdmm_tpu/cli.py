@@ -127,6 +127,32 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator == "ptracer":
+        from .render.ptracer import render_ptracer
+
+        res = render_ptracer(scene, cfg, spp=spp, seed=builder.seed)
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0, "n_paths": res["n_paths"],
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+    elif integrator == "vpl":
+        from .render.ptracer import render_vpl
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        res = render_vpl(
+            scene, cfg, spp=spp, seed=builder.seed,
+            n_light_paths=int(props.get("lightPaths", 32)),
+            vpl_depth=int(props.get("maxDepth", 4)),
+        )
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     else:
         nee = integrator in ("gt", "volpath")
         sampler = args.sampler or builder.sampler
@@ -187,7 +213,7 @@ def main(argv=None):
                    help="scene variable override (reference: mitsuba -D)")
     r.add_argument("--integrator",
                    choices=["gt", "volpath", "path", "sdmm", "ppg",
-                            "direct", "ao", "field"])
+                            "direct", "ao", "field", "ptracer", "vpl"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)
