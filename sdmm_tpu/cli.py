@@ -137,6 +137,31 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator in ("photonmapper", "ppm", "sppm"):
+        from .render import photonmap as pmap
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        if integrator == "photonmapper":
+            res = pmap.render_photonmap(
+                scene, cfg, spp=spp, seed=builder.seed,
+                n_photon_paths=int(props.get("globalPhotons", 1 << 17)),
+            )
+        else:
+            # ppm and sppm share the progressive driver (sppm additionally
+            # re-jitters camera samples, which the driver always does).
+            res = pmap.render_sppm(
+                scene, cfg, seed=builder.seed,
+                iterations=int(props.get("maxPasses", max(spp // 4, 4))),
+                photon_paths_per_iter=int(props.get("photonCount", 1 << 16)),
+                alpha=float(props.get("alpha", 0.7)),
+            )
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator == "vpl":
         from .render.ptracer import render_vpl
 
@@ -213,7 +238,8 @@ def main(argv=None):
                    help="scene variable override (reference: mitsuba -D)")
     r.add_argument("--integrator",
                    choices=["gt", "volpath", "path", "sdmm", "ppg",
-                            "direct", "ao", "field", "ptracer", "vpl"])
+                            "direct", "ao", "field", "ptracer", "vpl",
+                            "photonmapper", "ppm", "sppm"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)
