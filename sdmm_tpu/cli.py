@@ -137,6 +137,29 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator in ("pssmlt", "mlt", "erpt"):
+        from .render import pssmlt as psm
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        if integrator == "erpt":
+            res = psm.render_erpt(
+                scene, cfg, spp=spp, seed=builder.seed,
+                chain_length=int(props.get("chainLength", 32)),
+            )
+        else:
+            # 'mlt' maps to the PSS chain (Veach perturbations not
+            # re-implemented; see GAPS.md).
+            res = psm.render_pssmlt(
+                scene, cfg, spp=spp, seed=builder.seed,
+                p_large=float(props.get("pLarge", 0.3)),
+            )
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0, "b": res["b"],
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator in ("photonmapper", "ppm", "sppm"):
         from .render import photonmap as pmap
 
@@ -239,7 +262,8 @@ def main(argv=None):
     r.add_argument("--integrator",
                    choices=["gt", "volpath", "path", "sdmm", "ppg",
                             "direct", "ao", "field", "ptracer", "vpl",
-                            "photonmapper", "ppm", "sppm"])
+                            "photonmapper", "ppm", "sppm",
+                            "pssmlt", "mlt", "erpt"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)
