@@ -137,6 +137,16 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator == "bdpt":
+        from .render.bdpt import render_bdpt
+
+        res = render_bdpt(scene, cfg, spp=spp, seed=builder.seed)
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator in ("pssmlt", "mlt", "erpt"):
         from .render import pssmlt as psm
 
@@ -263,7 +273,7 @@ def main(argv=None):
                    choices=["gt", "volpath", "path", "sdmm", "ppg",
                             "direct", "ao", "field", "ptracer", "vpl",
                             "photonmapper", "ppm", "sppm",
-                            "pssmlt", "mlt", "erpt"])
+                            "pssmlt", "mlt", "erpt", "bdpt"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)
