@@ -137,6 +137,42 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator == "adaptive":
+        from .render.classic import render_adaptive
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        res = render_adaptive(
+            scene, cfg, max_spp=spp, seed=builder.seed,
+            max_error=float(props.get("maxError", 0.05)),
+        )
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean_spp": float(res["spp_map"].mean()),
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+    elif integrator == "multichannel":
+        from .render.classic import FIELDS, render_multichannel
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        fields = tuple(
+            f for f in str(props.get(
+                "fields", "position,shNormal,albedo,distance"
+            )).split(",") if f in FIELDS
+        )
+        chans = render_multichannel(scene, cfg, fields=fields, spp=spp,
+                                    seed=builder.seed)
+        base, ext = os.path.splitext(out)
+        for name, chan in chans.items():
+            write_exr(f"{base}_{name}{ext or '.exr'}", np.asarray(chan))
+        image = chans[fields[0]]
+        stats = {"integrator": integrator, "spp": spp,
+                 "fields": list(fields), "seconds": time.time() - t0}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator == "bdpt":
         from .render.bdpt import render_bdpt
 
@@ -273,7 +309,8 @@ def main(argv=None):
                    choices=["gt", "volpath", "path", "sdmm", "ppg",
                             "direct", "ao", "field", "ptracer", "vpl",
                             "photonmapper", "ppm", "sppm",
-                            "pssmlt", "mlt", "erpt", "bdpt"])
+                            "pssmlt", "mlt", "erpt", "bdpt",
+                            "adaptive", "multichannel"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import bsdf as bsdf_mod
 from ..core.frame import to_local, to_world
@@ -221,3 +222,67 @@ def render_multichannel(scene, cfg, fields=("position", "shNormal", "albedo",
         )
         out[f] = res["image"]
     return out
+
+
+def render_adaptive(scene, cfg, max_spp: int = 64, seed: int = 1234,
+                    pass_spp: int = 4, max_error: float = 0.05,
+                    p_value: float = 0.05, nee: bool = True,
+                    rays_per_wave: int = 1 << 16):
+    """Adaptive sampling meta-integrator (reference: misc/adaptive.cpp).
+
+    The reference stops per-block when a t-test bounds the relative error
+    below maxError; here the stopping is per-pixel: render in passes of
+    ``pass_spp``, and after each pass drop pixels whose relative standard
+    error of the mean is below ``max_error`` (same early-stopping bias
+    trade as the reference). Returns dict(image, spp_map).
+    """
+    from ..core.sampler import camera_jitter  # noqa: F401 (parity w/ render)
+    from ..scene.sensor import generate_rays
+    from .volpath import trace_wave
+
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    img = np.zeros((n_pix, 3))
+    sqr = np.zeros((n_pix, 3))
+    cnt = np.zeros((n_pix,))
+    key = jax.random.PRNGKey(seed)
+
+    @partial(jax.jit, static_argnames=())
+    def run_wave(key, pixel_idx):
+        u = jax.random.uniform(key, (pixel_idx.shape[0], 2))
+        px = (pixel_idx % w).astype(jnp.float32) + u[:, 0]
+        py = (pixel_idx // w).astype(jnp.float32) + u[:, 1]
+        ro, rd = generate_rays(scene, jnp.stack([px, py], -1), w, h,
+                               cfg.fov_axis)
+        li = trace_wave(
+            scene, jax.random.fold_in(key, 1), ro, rd,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
+            bsdf_types=cfg.bsdf_types or None, has_medium=cfg.has_medium,
+            has_hetero=cfg.has_hetero, has_bump=cfg.has_bump,
+        )
+        return jnp.nan_to_num(li)
+
+    active = np.arange(n_pix, dtype=np.int32)
+    spp_done = 0
+    while spp_done < max_spp and active.size:
+        wave = min(rays_per_wave, max(active.size, 1))
+        n_waves = (active.size + wave - 1) // wave
+        padded = np.resize(active, n_waves * wave)
+        for s in range(pass_spp):
+            for wv in range(n_waves):
+                k = jax.random.fold_in(
+                    jax.random.fold_in(key, spp_done + s), wv)
+                idx = padded[wv * wave:(wv + 1) * wave]
+                li = np.asarray(run_wave(k, jnp.asarray(idx)))
+                np.add.at(img, idx, li)
+                np.add.at(sqr, idx, li * li)
+                np.add.at(cnt, idx, 1.0)
+        spp_done += pass_spp
+        mean = img / np.maximum(cnt, 1.0)[:, None]
+        var = np.maximum(sqr / np.maximum(cnt, 1.0)[:, None] - mean**2, 0.0)
+        sem = np.sqrt(var.mean(-1) / np.maximum(cnt, 1.0))
+        rel = sem / np.maximum(mean.mean(-1), 1e-3)
+        active = np.where(rel > max_error)[0].astype(np.int32)
+
+    image = (img / np.maximum(cnt, 1.0)[:, None]).reshape(h, w, 3)
+    return {"image": image, "spp_map": cnt.reshape(h, w)}

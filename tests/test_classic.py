@@ -135,3 +135,25 @@ def test_multichannel():
     assert set(out) == {"distance", "shNormal"}
     assert out["distance"].shape == (16, 16, 3)
     assert float(np.asarray(out["distance"]).mean()) > 0.5
+
+
+def test_adaptive_allocates_and_converges():
+    from sdmm_tpu.render.classic import render_adaptive
+
+    scene, cfg = make_box_scene(24, 24).build()
+    cfg.max_depth = 4
+    cfg.rr_depth = 4
+    res = render_adaptive(scene, cfg, max_spp=32, pass_spp=4,
+                          max_error=0.06, rays_per_wave=1 << 12)
+    im = res["image"]
+    spp = res["spp_map"]
+    assert np.isfinite(im).all()
+    assert spp.min() >= 4  # everyone got the first pass
+    assert spp.max() <= 32 + 1e-6
+    # Adaptive must not spend max samples everywhere (some pixels converge),
+    # and the image must match a fixed-spp render.
+    assert spp.mean() < 31, spp.mean()
+    from sdmm_tpu.render.renderer import render as rr
+
+    ref = np.asarray(rr(scene, cfg, spp=48)["image"])
+    assert abs(im.mean() - ref.mean()) < 0.06 * ref.mean()
