@@ -24,6 +24,7 @@ from ..scene.scene import (
     BSDF_BLEND,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
+    BSDF_DIFFTRANS,
     BSDF_DIFFUSE,
     BSDF_MASK,
     BSDF_NULL,
@@ -31,6 +32,7 @@ from ..scene.scene import (
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
     BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHDIFFUSE,
     BSDF_ROUGHPLASTIC,
     BSDF_WARD,
 )
@@ -348,7 +350,7 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
 
     need_cosine = (
         has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_ROUGHPLASTIC)
-        or has(BSDF_PLASTIC) or has(BSDF_WARD)
+        or has(BSDF_PLASTIC) or has(BSDF_WARD) or has(BSDF_ROUGHDIFFUSE)
     )
     if need_cosine:
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
@@ -363,6 +365,29 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
         f_diff = params["albedo"] * (INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
         sels_f.append((BSDF_DIFFUSE, f_diff))
         sels_p.append((BSDF_DIFFUSE, pdf_diff))
+
+    if has(BSDF_ROUGHDIFFUSE):
+        # Oren-Nayar qualitative model (reference: bsdfs/roughdiffuse.cpp,
+        # useFastApprox path); sigma (radians) is carried in `alpha`.
+        sig2 = params["alpha"] * params["alpha"]
+        a_on = 1.0 - sig2 / (2.0 * (sig2 + 0.33))
+        b_on = 0.45 * sig2 / (sig2 + 0.66)
+        s_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+        s_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+        sin_prod = s_i * s_o
+        cos_phi_d = jnp.where(
+            sin_prod > 1e-8,
+            (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
+            / jnp.maximum(sin_prod, 1e-8),
+            0.0,
+        )
+        term = sin_prod / jnp.maximum(jnp.maximum(cos_i, cos_o), 1e-6)
+        f_on = params["albedo"] * (
+            INV_PI * jnp.maximum(cos_o, 0.0)
+            * (a_on + b_on * jnp.maximum(cos_phi_d, 0.0) * term)
+        )[..., None]
+        sels_f.append((BSDF_ROUGHDIFFUSE, f_on))
+        sels_p.append((BSDF_ROUGHDIFFUSE, pdf_diff))
 
     need_ggx = has(BSDF_ROUGHCONDUCTOR) or has(BSDF_ROUGHPLASTIC)
     if need_ggx:
@@ -443,6 +468,19 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
         is_rd = t == BSDF_ROUGHDIELECTRIC
         f = jnp.where(is_rd[..., None], f_rd, f)
         pdf = jnp.where(is_rd, pdf_rd, pdf)
+
+    if has(BSDF_DIFFTRANS):
+        # Diffuse transmitter (reference: bsdfs/difftrans.cpp): wo in the
+        # hemisphere OPPOSITE wi, Lambertian in |cos|. Applied after the
+        # front gate since transmission fails the reflective check.
+        trans = (cos_i > 1e-6) & (cos_o < -1e-6)
+        f_dt = params["albedo"] * (INV_PI * jnp.maximum(-cos_o, 0.0))[..., None]
+        pdf_dt = INV_PI * jnp.maximum(-cos_o, 0.0)
+        is_dt = t == BSDF_DIFFTRANS
+        f = jnp.where((is_dt & trans)[..., None], f_dt,
+                      jnp.where(is_dt[..., None], 0.0, f))
+        pdf = jnp.where(is_dt & trans, pdf_dt,
+                        jnp.where(is_dt, 0.0, pdf))
     return f, pdf
 
 
@@ -469,10 +507,28 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     need_cosine = (
         has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_PLASTIC)
         or has(BSDF_ROUGHPLASTIC) or has(BSDF_WARD)
+        or has(BSDF_ROUGHDIFFUSE) or has(BSDF_DIFFTRANS)
     )
     if need_cosine:
         wo_diff = warp.square_to_cosine_hemisphere(u2)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
+
+    if has(BSDF_ROUGHDIFFUSE):
+        f_on, pdf_on = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_ROUGHDIFFUSE)}, wi,
+            wo_diff, types=(BSDF_ROUGHDIFFUSE,),
+        )
+        w_on = jnp.where((pdf_on > 0.0)[..., None],
+                         f_on / jnp.maximum(pdf_on, 1e-20)[..., None], 0.0)
+        wo_sel.append((BSDF_ROUGHDIFFUSE, wo_diff))
+        w_sel.append((BSDF_ROUGHDIFFUSE, w_on))
+        pdf_sel.append((BSDF_ROUGHDIFFUSE, pdf_on))
+
+    if has(BSDF_DIFFTRANS):
+        wo_dt = wo_diff * jnp.array([1.0, 1.0, -1.0])
+        wo_sel.append((BSDF_DIFFTRANS, wo_dt))
+        w_sel.append((BSDF_DIFFTRANS, params["albedo"]))
+        pdf_sel.append((BSDF_DIFFTRANS, pdf_diff))
 
     if has(BSDF_DIFFUSE):
         wo_sel.append((BSDF_DIFFUSE, wo_diff))

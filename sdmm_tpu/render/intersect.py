@@ -246,9 +246,14 @@ def apply_bumpmap(scene, it: dict) -> jnp.ndarray:
     from ..bsdf.bsdf import sample_texture
     from ..core.spectrum import luminance
 
-    tex_id = scene.bsdf_bump[it["bsdf"]]
+    raw = scene.bsdf_bump[it["bsdf"]]
     scale = scene.bsdf_bump_scale[it["bsdf"]]
-    has = tex_id >= 0
+    # Encoding: -1 = none, >=0 = height texture (bumpmap), <=-2 = tangent-
+    # space normal texture stored as -(tex_id+2) (reference:
+    # bsdfs/normalmap.cpp; keeps SceneData's single bump column).
+    is_normalmap = raw <= -2
+    has = raw >= 0
+    tex_id = jnp.where(is_normalmap, -raw - 2, raw)
     tid = jnp.maximum(tex_id, 0)
     r = scene.textures.shape[1]
     eps = 1.0 / r
@@ -282,4 +287,20 @@ def apply_bumpmap(scene, it: dict) -> jnp.ndarray:
     n_norm = jnp.linalg.norm(n_new, axis=-1, keepdims=True)
     ok = has & (jnp.abs(det) > 1e-12) & (n_norm[..., 0] > 1e-12)
     n_new = n_new / jnp.maximum(n_norm, 1e-20)
-    return jnp.where(ok[:, None], n_new, ns)
+    out = jnp.where(ok[:, None], n_new, ns)
+
+    # Normal map: the texture IS the tangent-space normal (rgb → 2c-1),
+    # rotated into the (dpdu⊥, ·, ns) frame (reference: normalmap.cpp).
+    c = sample_texture(scene.textures, tid, uv)
+    n_tan = 2.0 * c - 1.0
+    tang = dpdu - ns * jnp.sum(dpdu * ns, axis=-1, keepdims=True)
+    t_norm = jnp.linalg.norm(tang, axis=-1, keepdims=True)
+    tang = tang / jnp.maximum(t_norm, 1e-20)
+    bit = jnp.cross(ns, tang)
+    n_nm = (tang * n_tan[..., 0:1] + bit * n_tan[..., 1:2]
+            + ns * jnp.maximum(n_tan[..., 2:3], 1e-3))
+    n_nm = n_nm / jnp.maximum(
+        jnp.linalg.norm(n_nm, axis=-1, keepdims=True), 1e-20
+    )
+    ok_nm = is_normalmap & (t_norm[..., 0] > 1e-12)
+    return jnp.where(ok_nm[:, None], n_nm, out)

@@ -36,6 +36,8 @@ BSDF_PLASTIC = 8
 BSDF_WARD = 9  # anisotropic glossy (reference: bsdfs/ward.cpp)
 BSDF_BLEND = 10  # two-child mixture (reference: bsdfs/blendbsdf.cpp)
 BSDF_MASK = 11  # opacity mask over a child (reference: bsdfs/mask.cpp)
+BSDF_ROUGHDIFFUSE = 12  # Oren-Nayar (reference: bsdfs/roughdiffuse.cpp)
+BSDF_DIFFTRANS = 13  # diffuse transmitter (reference: bsdfs/difftrans.cpp)
 
 DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
 
@@ -586,6 +588,6 @@ class SceneBuilder:
             bsdf_types=tuple(sorted({int(b["type"]) for b in self.bsdfs})),
             has_medium=self.medium is not None or len(self.media) > 0,
             has_hetero=any("density" in m for m in media_rows),
-            has_bump=any(b.get("bump", -1) >= 0 for b in self.bsdfs),
+            has_bump=any(b.get("bump", -1) != -1 for b in self.bsdfs),
         )
         return data, cfg

@@ -361,6 +361,37 @@ class XMLLoader:
                 BSDF_BLEND, name=name, child0=c0, child1=c1,
                 weight=float(p.get("weight", 0.5)),
             )
+        if btype == "normalmap":
+            # Tangent-space normal texture over a child (reference:
+            # bsdfs/normalmap.cpp). Stored as bump = -(tex_id+2); see
+            # render/intersect.py apply_bumpmap.
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            idx = self._bsdf(children[0]) if children else self.builder.add_bsdf(
+                BSDF_DIFFUSE
+            )
+            tex_id = self._bsdf_texture(el, srgb=False)
+            if tex_id >= 0:
+                self.builder.bsdfs[idx]["bump"] = -(tex_id + 2)
+            if name is not None:
+                self.builder.bsdf_ids[name] = idx
+            return idx
+        if btype == "mixturebsdf":
+            # N-ary mixture (reference: bsdfs/mixturebsdf.cpp). Two
+            # components map exactly onto the blend container; with more,
+            # the two largest weights are kept and renormalized (GAPS.md).
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            weights = [float(x) for x in str(p.get("weights", "")).replace(
+                ",", " ").split()] or [1.0 / max(len(children), 1)] * len(children)
+            pairs = sorted(zip(weights, range(len(children))), reverse=True)[:2]
+            if len(pairs) == 1:
+                return self._bsdf(children[pairs[0][1]])
+            (w0, i0), (w1, i1) = pairs
+            c0 = self._bsdf(children[i0])
+            c1 = self._bsdf(children[i1])
+            return self.builder.add_bsdf(
+                BSDF_BLEND, name=name, child0=c0, child1=c1,
+                weight=w1 / max(w0 + w1, 1e-9),
+            )
         if btype == "mask":
             children = [sub for sub in el if sub.tag == "bsdf"]
             c0 = self._bsdf(children[0]) if children else self.builder.add_bsdf(BSDF_DIFFUSE)
@@ -374,6 +405,17 @@ class XMLLoader:
         if btype == "diffuse":
             code = BSDF_DIFFUSE
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
+        elif btype == "roughdiffuse":
+            from .scene import BSDF_ROUGHDIFFUSE
+
+            code = BSDF_ROUGHDIFFUSE
+            kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
+            kwargs["alpha"] = float(p.get("alpha", 0.2))
+        elif btype == "difftrans":
+            from .scene import BSDF_DIFFTRANS
+
+            code = BSDF_DIFFTRANS
+            kwargs["albedo"] = p.get("transmittance", np.full(3, 0.5))
         elif btype in ("conductor", "roughconductor"):
             mat = p.get("material", "Cu")
             eta_k = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["Cu"])
@@ -422,11 +464,12 @@ class XMLLoader:
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))
         return self.builder.add_bsdf(code, name=name, **kwargs)
 
-    def _bsdf_texture(self, el) -> int:
+    def _bsdf_texture(self, el, srgb: bool = True) -> int:
         """Load a nested <texture type=bitmap> (albedo channels only).
 
         Returns a texture id or -1. LFS-stub/unreadable files fall back to a
-        mid-gray placeholder so scenes still load.
+        mid-gray placeholder so scenes still load. ``srgb=False`` skips the
+        sRGB→linear conversion (normal maps store raw vectors).
         """
         for sub in el:
             if sub.tag == "texture" and sub.get("type") == "bitmap":
@@ -441,8 +484,9 @@ class XMLLoader:
                         img = np.asarray(
                             Image.open(path).convert("RGB"), dtype=np.float32
                         ) / 255.0
-                        # sRGB → linear (approximate).
-                        img = img ** 2.2
+                        if srgb:
+                            # sRGB → linear (approximate).
+                            img = img ** 2.2
                     except Exception:
                         img = None
                 if img is None:

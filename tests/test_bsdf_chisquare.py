@@ -13,11 +13,13 @@ import pytest
 from sdmm_tpu import bsdf as bsdf_mod
 from sdmm_tpu.core.frame import normalize
 from sdmm_tpu.scene.scene import (
+    BSDF_DIFFTRANS,
     BSDF_DIFFUSE,
     BSDF_PHONG,
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
     BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHDIFFUSE,
     BSDF_ROUGHPLASTIC,
     BSDF_WARD,
 )
@@ -81,6 +83,8 @@ WI_ANGLES = [
     (BSDF_ROUGHDIELECTRIC, {"alpha": 0.3}),
     (BSDF_WARD, {"alpha": 0.2, "alpha_v": 0.45}),
     (BSDF_WARD, {"alpha": 0.35, "alpha_v": 0.35}),
+    (BSDF_ROUGHDIFFUSE, {"alpha": 0.4}),
+    (BSDF_DIFFTRANS, {}),
 ])
 def test_bsdf_chi2(btype, over):
     wi = np.asarray(WI_ANGLES[1])

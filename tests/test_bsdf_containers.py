@@ -153,3 +153,111 @@ def test_mask_render_scales_by_opacity():
     expect = op * img_p.mean() + (1 - op) * 1.0
     got = img_m.mean()
     assert abs(got - expect) / expect < 0.05, (got, expect)
+
+
+def test_roughdiffuse_sigma0_is_lambert():
+    """Oren-Nayar with sigma=0 must equal plain diffuse."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+    from sdmm_tpu.scene.scene import BSDF_DIFFUSE, BSDF_ROUGHDIFFUSE
+
+    n = 4096
+    key = jax.random.PRNGKey(0)
+    from sdmm_tpu.core import warp
+
+    wo = warp.square_to_cosine_hemisphere(jax.random.uniform(key, (n, 2)))
+    wi = jnp.broadcast_to(jnp.asarray([0.4, 0.2, np.sqrt(1 - 0.2)]), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+
+    def params(t, alpha):
+        return {
+            "type": jnp.full((n,), t, jnp.int32),
+            "albedo": jnp.tile(jnp.asarray([0.6, 0.5, 0.4]), (n, 1)),
+            "specular": jnp.ones((n, 3)), "alpha": jnp.full((n,), alpha),
+            "eta": jnp.full((n,), 1.5), "k": jnp.ones((n, 3)),
+            "exponent": jnp.full((n,), 30.0), "alpha_v": jnp.full((n,), alpha),
+        }
+
+    f_on, _ = bsdf_mod.eval_pdf(params(BSDF_ROUGHDIFFUSE, 0.0), wi, wo)
+    f_d, _ = bsdf_mod.eval_pdf(params(BSDF_DIFFUSE, 0.0), wi, wo)
+    assert np.allclose(np.asarray(f_on), np.asarray(f_d), atol=1e-6)
+    # Retro-reflection (wo = wi) is brighter than the azimuth-opposed
+    # direction at equal polar angle — the Oren-Nayar signature.
+    wo_opp = wi * jnp.asarray([-1.0, -1.0, 1.0])
+    f_retro, _ = bsdf_mod.eval_pdf(params(BSDF_ROUGHDIFFUSE, 0.5), wi, wi)
+    f_opp, _ = bsdf_mod.eval_pdf(params(BSDF_ROUGHDIFFUSE, 0.5), wi, wo_opp)
+    assert float(f_retro.mean()) > float(f_opp.mean()) * 1.02
+
+
+def test_mixturebsdf_and_normalmap_load(tmp_path):
+    """mixturebsdf maps onto the blend container; normalmap perturbs ns."""
+    import numpy as np
+    from PIL import Image
+
+    from sdmm_tpu.scene.xml_loader import load_scene
+
+    # Normal map: constant tangent-space normal tilted in +u.
+    nm = np.zeros((8, 8, 3), np.uint8)
+    nm[..., 0] = 200  # x ~ +0.57
+    nm[..., 1] = 128
+    nm[..., 2] = 230  # z ~ +0.8
+    Image.fromarray(nm).save(tmp_path / "nm.png")
+    xml = """<scene version="0.6.0">
+      <integrator type="path"/>
+      <sensor type="perspective">
+        <film type="hdrfilm">
+          <integer name="width" value="8"/><integer name="height" value="8"/>
+        </film>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="mixturebsdf">
+          <string name="weights" value="0.7, 0.3"/>
+          <bsdf type="diffuse"/>
+          <bsdf type="roughconductor"><float name="alpha" value="0.2"/></bsdf>
+        </bsdf>
+      </shape>
+      <shape type="rectangle">
+        <bsdf type="normalmap">
+          <texture type="bitmap"><string name="filename" value="nm.png"/></texture>
+          <bsdf type="diffuse"/>
+        </bsdf>
+      </shape>
+      <shape type="rectangle">
+        <bsdf type="roughdiffuse"><float name="alpha" value="0.3"/></bsdf>
+      </shape>
+      <shape type="rectangle">
+        <bsdf type="difftrans"/>
+      </shape>
+    </scene>"""
+    (tmp_path / "s.xml").write_text(xml)
+    b = load_scene(str(tmp_path / "s.xml"))
+    scene, cfg = b.build()
+    from sdmm_tpu.scene.scene import (
+        BSDF_BLEND, BSDF_DIFFTRANS, BSDF_ROUGHDIFFUSE,
+    )
+
+    types = [d["type"] for d in b.bsdfs]
+    assert BSDF_BLEND in types
+    assert BSDF_ROUGHDIFFUSE in types
+    assert BSDF_DIFFTRANS in types
+    assert cfg.has_bump  # normalmap uses the bump pipeline
+    assert any(d.get("bump", -1) <= -2 for d in b.bsdfs)
+
+    # Normal map bends shading normals on the second rectangle.
+    import jax.numpy as jnp
+
+    from sdmm_tpu.render import intersect as isect
+
+    ro = jnp.asarray([[0.0, 0.0, 2.0]])
+    rd = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = isect.intersect(scene, ro, rd)
+    it = isect.surface_interaction(scene, ro, rd, hit)
+    # Force the normal-mapped bsdf row.
+    nm_idx = next(i for i, d in enumerate(b.bsdfs) if d.get("bump", -1) <= -2)
+    it["bsdf"] = jnp.asarray([nm_idx])
+    ns = isect.apply_bumpmap(scene, it)
+    assert abs(float(ns[0, 0])) > 0.2  # tilted toward +u
+    assert np.isclose(float(jnp.linalg.norm(ns[0])), 1.0, atol=1e-5)
