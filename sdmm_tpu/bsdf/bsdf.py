@@ -22,6 +22,7 @@ from ..core.frame import reflect, normalize
 from ..core.spectrum import luminance
 from ..scene.scene import (
     BSDF_BLEND,
+    BSDF_COATING,
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFTRANS,
@@ -123,6 +124,21 @@ def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None,
         p = _where_params(is_mask, c, p)
         p["is_mask"] = is_mask
         p["opacity"] = jnp.where(is_mask[..., None], opacity, 1.0)
+    if has(BSDF_COATING):
+        # Smooth dielectric coating over a child (reference:
+        # bsdfs/coating.cpp). Parent row columns: eta = layer IOR ratio,
+        # alpha = thickness, albedo = sigmaA, specular = specularReflectance.
+        is_coat = p["type"] == BSDF_COATING
+        child = jnp.where(is_coat, scene.bsdf_child0[bsdf_idx], bsdf_idx)
+        c = _gather_raw(scene, jnp.maximum(child, 0), uv)
+        coat_eta = p["eta"]
+        coat_sa = p["albedo"] * p["alpha"][..., None]  # sigmaA * thickness
+        coat_spec = p["specular"]
+        p = _where_params(is_coat, c, p)
+        p["is_coat"] = is_coat
+        p["coat_eta"] = jnp.where(is_coat, coat_eta, 1.5)
+        p["coat_sa"] = jnp.where(is_coat[..., None], coat_sa, 0.0)
+        p["coat_spec"] = jnp.where(is_coat[..., None], coat_spec, 1.0)
     if has(BSDF_BLEND):
         is_blend = p["type"] == BSDF_BLEND
         c0 = jnp.where(is_blend, scene.bsdf_child0[bsdf_idx], bsdf_idx)
@@ -758,7 +774,57 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
 
 def _strip_container(params: dict) -> dict:
     return {k: v for k, v in params.items()
-            if k not in ("is_mask", "opacity", "is_blend", "blend_b", "blend_w")}
+            if k not in ("is_mask", "opacity", "is_blend", "blend_b",
+                         "blend_w", "is_coat", "coat_eta", "coat_sa",
+                         "coat_spec")}
+
+
+def _refract_in(w, eta):
+    """Refract into the layer preserving the z sign; returns (w', R).
+    Reference: coating.cpp refractIn + libcore fresnelDielectricExt."""
+    cos_i = jnp.abs(w[..., 2])
+    inv_eta = 1.0 / eta
+    cos_t_sqr = 1.0 - (1.0 - cos_i * cos_i) * (inv_eta * inv_eta)
+    tir = cos_t_sqr <= 0.0
+    cos_t = jnp.sqrt(jnp.maximum(cos_t_sqr, 0.0))
+    rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
+    rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
+    r = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+    w_out = jnp.stack([
+        inv_eta * w[..., 0], inv_eta * w[..., 1],
+        jnp.sign(w[..., 2]) * cos_t,
+    ], axis=-1)
+    return w_out, r
+
+
+def _refract_out(w, eta):
+    """Refract out of the layer (reference: coating.cpp refractOut)."""
+    cos_i = jnp.abs(w[..., 2])
+    cos_t_sqr = 1.0 - (1.0 - cos_i * cos_i) * (eta * eta)
+    tir = cos_t_sqr <= 0.0
+    cos_t = jnp.sqrt(jnp.maximum(cos_t_sqr, 0.0))
+    inv_eta = 1.0 / eta
+    rs = (cos_i - inv_eta * cos_t) / jnp.maximum(cos_i + inv_eta * cos_t, 1e-12)
+    rp = (inv_eta * cos_i - cos_t) / jnp.maximum(inv_eta * cos_i + cos_t, 1e-12)
+    r = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+    w_out = jnp.stack([
+        eta * w[..., 0], eta * w[..., 1],
+        jnp.sign(w[..., 2]) * cos_t,
+    ], axis=-1)
+    return w_out, r
+
+
+def _coat_spec_weight(params):
+    """Specular sampling weight 1/(avgAbsorption+1)
+    (reference: coating.cpp configure())."""
+    avg_abs = jnp.mean(jnp.exp(-2.0 * params["coat_sa"]), axis=-1)
+    return 1.0 / (avg_abs + 1.0)
+
+
+def _coat_prob_specular(r12, w_spec):
+    return (r12 * w_spec) / jnp.maximum(
+        r12 * w_spec + (1.0 - r12) * (1.0 - w_spec), 1e-12
+    )
 
 
 def eval_pdf_full(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
@@ -773,6 +839,29 @@ def eval_pdf_full(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
     """
     core = _strip_container(params)
     f, pdf = eval_pdf(core, wi, wo, types=types)
+    if "coat_eta" in params:
+        # Coated rows: evaluate the child with refracted directions,
+        # Fresnel transmissions, absorption, and the solid-angle
+        # compression factor (reference: coating.cpp eval/pdf).
+        eta_c = params["coat_eta"]
+        wi_p, r12 = _refract_in(wi, eta_c)
+        wo_p, r21 = _refract_in(wo, eta_c)
+        f_n, pdf_n = eval_pdf(core, wi_p, wo_p, types=types)
+        absorb = jnp.exp(-params["coat_sa"] * (
+            1.0 / jnp.maximum(jnp.abs(wi_p[..., 2]), 1e-6)
+            + 1.0 / jnp.maximum(jnp.abs(wo_p[..., 2]), 1e-6)
+        )[..., None])
+        inv_eta2 = 1.0 / (eta_c * eta_c)
+        jac = inv_eta2 * wo[..., 2] / jnp.maximum(wo_p[..., 2], 1e-6)
+        f_c = f_n * ((1.0 - r12) * (1.0 - r21) * jac)[..., None] * absorb
+        w_spec = _coat_spec_weight(params)
+        prob_spec = _coat_prob_specular(r12, w_spec)
+        pdf_c = pdf_n * jac * (1.0 - prob_spec)
+        no_tir = (r12 < 1.0) & (r21 < 1.0)
+        is_c = params["is_coat"]
+        f = jnp.where((is_c & no_tir)[..., None], f_c,
+                      jnp.where(is_c[..., None], 0.0, f))
+        pdf = jnp.where(is_c & no_tir, pdf_c, jnp.where(is_c, 0.0, pdf))
     if "blend_b" in params:
         f1, p1 = eval_pdf(params["blend_b"], wi, wo, types=types)
         w = params["blend_w"]
@@ -802,8 +891,56 @@ def sample_full(params: dict, wi: jnp.ndarray, u0: jnp.ndarray,
     core = _strip_container(params)
     has_blend = "blend_b" in params
     has_mask = "opacity" in params
-    if not has_blend and not has_mask:
+    has_coat = "coat_eta" in params
+    if not has_blend and not has_mask and not has_coat:
         return sample(core, wi, u1, u2, types=types)
+    if has_coat:
+        # Coating rows build a complete sample record; other rows fall
+        # through to the remaining containers (reference: coating.cpp
+        # sample()).
+        eta_c = params["coat_eta"]
+        wi_p, r12 = _refract_in(wi, eta_c)
+        w_spec = _coat_spec_weight(params)
+        prob_spec = _coat_prob_specular(r12, w_spec)
+        pick_spec = u0 < prob_spec
+        bs_n = sample(core, wi_p, u1, u2, types=types)
+        wo_out, r21 = _refract_out(bs_n["wo"], eta_c)
+        absorb = jnp.exp(-params["coat_sa"] * (
+            1.0 / jnp.maximum(jnp.abs(wi_p[..., 2]), 1e-6)
+            + 1.0 / jnp.maximum(jnp.abs(bs_n["wo"][..., 2]), 1e-6)
+        )[..., None])
+        w_nested = (bs_n["weight"] * absorb
+                    * ((1.0 - r12) * (1.0 - r21)
+                       / jnp.maximum(1.0 - prob_spec, 1e-6))[..., None])
+        no_tir = (r12 < 1.0) & (r21 < 1.0)
+        w_nested = jnp.where(no_tir[..., None], w_nested, 0.0)
+        inv_eta2 = 1.0 / (eta_c * eta_c)
+        jac = inv_eta2 * wo_out[..., 2] / jnp.maximum(bs_n["wo"][..., 2], 1e-6)
+        pdf_nested = bs_n["pdf"] * jnp.abs(jac) * (1.0 - prob_spec)
+        wo_spec = reflect(wi)
+        w_sp = params["coat_spec"] * (
+            r12 / jnp.maximum(prob_spec, 1e-6))[..., None]
+        is_c = params["is_coat"]
+        coat = {
+            "wo": jnp.where(pick_spec[..., None], wo_spec, wo_out),
+            "weight": jnp.where(pick_spec[..., None], w_sp, w_nested),
+            "pdf": jnp.where(pick_spec, prob_spec, pdf_nested),
+            "delta": pick_spec | bs_n["delta"],
+            "eta": jnp.ones_like(r12),
+            "pass": jnp.zeros_like(pick_spec),
+        }
+        rest = sample_full(
+            {k: v for k, v in params.items()
+             if k not in ("is_coat", "coat_eta", "coat_sa", "coat_spec")},
+            wi, u0, u1, u2, types=types,
+        )
+        return {
+            k: jnp.where(
+                is_c[..., None] if rest[k].ndim > is_c.ndim else is_c,
+                coat[k], rest[k],
+            )
+            for k in rest
+        }
 
     if has_blend:
         w = params["blend_w"]

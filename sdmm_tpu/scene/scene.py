@@ -38,6 +38,7 @@ BSDF_BLEND = 10  # two-child mixture (reference: bsdfs/blendbsdf.cpp)
 BSDF_MASK = 11  # opacity mask over a child (reference: bsdfs/mask.cpp)
 BSDF_ROUGHDIFFUSE = 12  # Oren-Nayar (reference: bsdfs/roughdiffuse.cpp)
 BSDF_DIFFTRANS = 13  # diffuse transmitter (reference: bsdfs/difftrans.cpp)
+BSDF_COATING = 14  # dielectric layer over a child (reference: bsdfs/coating.cpp)
 
 DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
 

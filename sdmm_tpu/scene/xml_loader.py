@@ -361,6 +361,32 @@ class XMLLoader:
                 BSDF_BLEND, name=name, child0=c0, child1=c1,
                 weight=float(p.get("weight", 0.5)),
             )
+        if btype in ("coating", "roughcoating"):
+            # Dielectric layer over a child (reference: bsdfs/coating.cpp);
+            # roughcoating's GGX specular lobe is approximated by the
+            # smooth layer (GAPS.md). Parent row columns: eta = IOR ratio,
+            # alpha = thickness, albedo = sigmaA, specular = reflectance.
+            from .scene import BSDF_COATING
+
+            children = [sub for sub in el if sub.tag == "bsdf"]
+            c0 = self._bsdf(children[0]) if children else self.builder.add_bsdf(
+                BSDF_DIFFUSE
+            )
+            int_ior = p.get("intIOR", "bk7")
+            ext_ior = p.get("extIOR", "air")
+            int_v = DIELECTRIC_IOR.get(int_ior, 1.5046) if isinstance(
+                int_ior, str) else float(int_ior)
+            ext_v = DIELECTRIC_IOR.get(ext_ior, 1.000277) if isinstance(
+                ext_ior, str) else float(ext_ior)
+            sa = np.asarray(p.get("sigmaA", np.zeros(3)), np.float64).reshape(-1)
+            sa = sa if sa.size == 3 else np.full(3, float(sa[0]))
+            return self.builder.add_bsdf(
+                BSDF_COATING, name=name, child0=c0,
+                eta=int_v / ext_v,
+                alpha=float(p.get("thickness", 1.0)),
+                albedo=sa,
+                specular=p.get("specularReflectance", np.ones(3)),
+            )
         if btype == "normalmap":
             # Tangent-space normal texture over a child (reference:
             # bsdfs/normalmap.cpp). Stored as bump = -(tex_id+2); see

@@ -261,3 +261,124 @@ def test_mixturebsdf_and_normalmap_load(tmp_path):
     ns = isect.apply_bumpmap(scene, it)
     assert abs(float(ns[0, 0])) > 0.2  # tilted toward +u
     assert np.isclose(float(jnp.linalg.norm(ns[0])), 1.0, atol=1e-5)
+
+
+def _coat_params(n, eta=1.5, thickness=1.0, sigma_a=(0.0, 0.0, 0.0),
+                 child_albedo=(0.6, 0.5, 0.4)):
+    import jax.numpy as jnp
+
+    from sdmm_tpu.scene.scene import BSDF_DIFFUSE
+
+    return {
+        "type": jnp.full((n,), BSDF_DIFFUSE, jnp.int32),
+        "albedo": jnp.tile(jnp.asarray(child_albedo), (n, 1)),
+        "specular": jnp.ones((n, 3)),
+        "alpha": jnp.full((n,), 0.1),
+        "eta": jnp.full((n,), 1.5),
+        "k": jnp.ones((n, 3)),
+        "exponent": jnp.full((n,), 30.0),
+        "alpha_v": jnp.full((n,), 0.1),
+        "is_coat": jnp.ones((n,), bool),
+        "coat_eta": jnp.full((n,), eta),
+        "coat_sa": jnp.tile(jnp.asarray(sigma_a), (n, 1)) * thickness,
+        "coat_spec": jnp.ones((n, 3)),
+    }
+
+
+def test_coating_eta1_reduces_to_child():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+
+    n = 2048
+    key = jax.random.PRNGKey(2)
+    from sdmm_tpu.core import warp
+
+    wo = warp.square_to_cosine_hemisphere(jax.random.uniform(key, (n, 2)))
+    wi = jnp.broadcast_to(jnp.asarray([0.3, 0.1, np.sqrt(1 - 0.1)]), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    p = _coat_params(n, eta=1.0 + 1e-7)
+    f_c, pdf_c = bsdf_mod.eval_pdf_full(p, wi, wo)
+    core = {k: v for k, v in p.items() if not k.startswith(("is_coat", "coat"))}
+    f_d, pdf_d = bsdf_mod.eval_pdf(core, wi, wo)
+    assert np.allclose(np.asarray(f_c), np.asarray(f_d), atol=2e-3)
+    # prob_spec ~ 0 at eta=1 (R12=0), so the nested pdf carries full weight.
+    assert np.allclose(np.asarray(pdf_c), np.asarray(pdf_d), atol=2e-3)
+
+
+def test_coating_sample_pdf_consistency():
+    """Smooth (non-delta) coated samples must chi-square match eval_pdf_full."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+    from sdmm_tpu.utils.chisquare import chi2_test
+
+    n = 200_000
+    wi = np.asarray([0.5, 0.1, np.sqrt(1 - 0.26)])
+    wi = wi / np.linalg.norm(wi)
+    p = _coat_params(n, eta=1.5, sigma_a=(0.1, 0.2, 0.3))
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    wi_b = jnp.tile(jnp.asarray(wi, jnp.float32), (n, 1))
+    bs = bsdf_mod.sample_full(
+        p, wi_b,
+        jax.random.uniform(k0, (n,)), jax.random.uniform(k1, (n,)),
+        jax.random.uniform(k2, (n, 2)),
+    )
+    acc = (np.asarray(jnp.max(bs["weight"], -1)) > 0) & ~np.asarray(bs["delta"])
+    dirs = np.asarray(bs["wo"])[acc]
+
+    p1 = _coat_params(1, eta=1.5, sigma_a=(0.1, 0.2, 0.3))
+
+    def pdf_fn(d):
+        d = jnp.asarray(d, jnp.float32)
+        m = d.shape[0]
+        pp = {k: jnp.broadcast_to(v, (m,) + v.shape[1:]) for k, v in p1.items()}
+        wi_m = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (m, 3))
+        _, pdf = bsdf_mod.eval_pdf_full(pp, wi_m, d)
+        return np.asarray(pdf)
+
+    passed, p_value, st = chi2_test(dirs, pdf_fn)
+    assert passed, (p_value, st)
+
+
+def test_coating_energy_and_render():
+    """Coated white diffuse conserves energy; absorption darkens it."""
+    import numpy as np
+
+    from sdmm_tpu.scene.xml_loader import load_scene
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        xml = """<scene version="0.6.0">
+          <integrator type="path"/>
+          <sensor type="perspective">
+            <film type="hdrfilm">
+              <integer name="width" value="8"/><integer name="height" value="8"/>
+            </film>
+          </sensor>
+          <shape type="rectangle">
+            <bsdf type="coating">
+              <float name="thickness" value="2.0"/>
+              <spectrum name="sigmaA" value="0.2 0.4 0.6"/>
+              <bsdf type="diffuse"/>
+            </bsdf>
+          </shape>
+          <shape type="sphere">
+            <bsdf type="roughcoating">
+              <bsdf type="roughconductor"/>
+            </bsdf>
+          </shape>
+        </scene>"""
+        fn = os.path.join(td, "s.xml")
+        open(fn, "w").write(xml)
+        b = load_scene(fn)
+        scene, cfg = b.build()
+        from sdmm_tpu.scene.scene import BSDF_COATING
+
+        assert sum(1 for d in b.bsdfs if d["type"] == BSDF_COATING) == 2
+        assert BSDF_COATING in cfg.bsdf_types
