@@ -15,6 +15,12 @@ unconsumed camera sample (per-step prefix sum — the TPU analog of a
 work-stealing queue). One `lax.while_loop` iteration = one bounce for all
 lanes.
 
+Carry layout: the whole per-lane state lives in ONE [n_lanes, 16] f32
+matrix plus ONE bit-packed i32 vector (pixel | depth | flags). With ~15
+separate carry arrays, XLA's memory-space assignment issued thousands of
+tiny pred/f32 copy-start DMAs per run (50%+ of device time in the XPlane
+profile); two wide buffers collapse that churn.
+
 Media are not yet supported here; callers fall back to the classic wave
 driver for scenes with media.
 """
@@ -32,6 +38,24 @@ from ..scene import emitters
 from ..scene.sensor import generate_rays
 from . import intersect as isect
 from .volpath import RAY_EPS, mi_weight, shading_frame
+
+# f32 state columns.
+_RO = slice(0, 3)
+_RD = slice(3, 6)
+_THR = slice(6, 9)
+_LI = slice(9, 12)
+_ETA2 = 12
+_PPDF = 13
+_NCOLS = 14
+
+# i32 meta bit layout: pix (bits 0..19), depth (20..23),
+# alive (24), exhausted (25), prev_delta (26).
+_DEPTH_SHIFT = 20
+_ALIVE = 1 << 24
+_EXH = 1 << 25
+_PDELTA = 1 << 26
+_PIX_MASK = (1 << 20) - 1
+_DEPTH_MASK = 0xF
 
 
 @partial(jax.jit, static_argnames=(
@@ -57,20 +81,30 @@ def render_pool(
     Returns dict(image, sqr, weight [flat n_pix, …], n_vertices []).
     """
     n_pix = width * height
+    assert n_pix <= _PIX_MASK, "pixel index exceeds the packed 20-bit field"
+    assert max_depth <= _DEPTH_MASK + 1
     total = n_pix * spp
     pdf_over_area = emitters.tri_pdf_over_area(scene)
-    lane_id = jnp.arange(n_lanes, dtype=jnp.int32)
     has_env_nee = nee and scene.env_pdf.shape[0] > 1
 
     def cond(c):
-        return jnp.any(c["alive"] | ~c["exhausted"])
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
 
     def body(c):
         k = jax.random.fold_in(key, c["step"])
         k_regen, k_nee, k_b0, k_b1, k_b2, k_rr = jax.random.split(k, 6)
 
+        st = c["state"]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        prev_delta = (meta & _PDELTA) != 0
+        pix = meta & _PIX_MASK
+        depth0 = (meta >> _DEPTH_SHIFT) & _DEPTH_MASK
+
         # --- Regenerate dead lanes on their next camera sample ---
-        need = ~c["alive"] & ~c["exhausted"]
+        need = ~alive & ~exhausted
         # Dynamic work assignment: a global counter hands the next
         # unconsumed sample index to each dying lane (rank = prefix sum of
         # the regenerating mask). Per-lane static budgets would leave a
@@ -88,20 +122,21 @@ def render_pool(
             scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
         )
         start = in_budget
-        c["exhausted"] = c["exhausted"] | (need & ~in_budget)
+        exhausted = exhausted | (need & ~in_budget)
         c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
-        c["pix"] = jnp.where(start, pix_n, c["pix"])
-        c["ro"] = jnp.where(start[:, None], ro_n, c["ro"])
-        c["rd"] = jnp.where(start[:, None], rd_n, c["rd"])
-        c["thr"] = jnp.where(start[:, None], 1.0, c["thr"])
-        c["eta_sq"] = jnp.where(start, 1.0, c["eta_sq"])
-        c["li"] = jnp.where(start[:, None], 0.0, c["li"])
-        c["prev_pdf"] = jnp.where(start, 1.0, c["prev_pdf"])
-        c["prev_delta"] = jnp.where(start, True, c["prev_delta"])
-        c["depth"] = jnp.where(start, 0, c["depth"])
-        c["alive"] = c["alive"] | start
-        alive = c["alive"]
-        ro, rd, thr = c["ro"], c["rd"], c["thr"]
+        pix = jnp.where(start, pix_n, pix)
+        fresh = jnp.concatenate([
+            ro_n, rd_n, jnp.ones((n_lanes, 3)), jnp.zeros((n_lanes, 3)),
+            jnp.ones((n_lanes, 2)),
+        ], axis=-1)
+        st = jnp.where(start[:, None], fresh, st)
+        prev_delta = jnp.where(start, True, prev_delta)
+        depth0 = jnp.where(start, 0, depth0)
+        alive = alive | start
+
+        ro = st[:, _RO]
+        rd = st[:, _RD]
+        thr = st[:, _THR]
 
         # --- One bounce (mirrors volpath.trace_wave's body) ---
         hit = isect.intersect(scene, ro, rd)
@@ -114,15 +149,15 @@ def render_pool(
             pdf_nee = emitters.pdf_direct_hit(
                 scene, pdf_over_area, hit["tri"], rd, hit["t"]
             )
-            w_hit = jnp.where(c["prev_delta"], 1.0, mi_weight(c["prev_pdf"], pdf_nee))
+            w_hit = jnp.where(prev_delta, 1.0, mi_weight(st[:, _PPDF], pdf_nee))
         else:
             w_hit = jnp.ones(n_lanes)
-        li = c["li"] + jnp.where(alive[:, None], thr * le * w_hit[:, None], 0.0)
+        li = st[:, _LI] + jnp.where(alive[:, None], thr * le * w_hit[:, None], 0.0)
 
         if has_env_nee:
             pdf_env_nee = emitters.pdf_env_dir(scene, rd) * scene.env_select_prob
             w_env = jnp.where(
-                c["prev_delta"], 1.0, mi_weight(c["prev_pdf"], pdf_env_nee)
+                prev_delta, 1.0, mi_weight(st[:, _PPDF], pdf_env_nee)
             )
         else:
             w_env = jnp.ones(n_lanes)
@@ -178,10 +213,10 @@ def render_pool(
             bs["pass"] | ~(wo_dot_geo * bs["wo"][..., 2] <= 0.0)
         )
 
-        depth = c["depth"] + 1
+        depth = depth0 + 1
         survive = on_surface & good & (depth < max_depth)
         thr_next = thr * jnp.where(survive[:, None], bs["weight"], 1.0)
-        eta_sq = c["eta_sq"] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
+        eta_sq = st[:, _ETA2] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
 
         # Russian roulette (reference: sdmm_proc.cpp:858).
         q = jax.lax.stop_gradient(
@@ -208,36 +243,37 @@ def render_pool(
              done.astype(jnp.float32)[:, None],
              jnp.zeros((n_lanes, 1))], axis=-1,
         )
-        c["film"] = c["film"].at[c["pix"]].add(row)
+        c["film"] = c["film"].at[pix].add(row)
 
         offset_sign = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
-        c["ro"] = it["p"] + it["ng"] * offset_sign[:, None]
-        c["rd"] = wo_world
-        c["thr"] = thr_next
-        c["eta_sq"] = eta_sq
-        c["li"] = li
-        c["prev_pdf"] = bs["pdf"]
-        c["prev_delta"] = bs["delta"]
-        c["depth"] = depth
-        c["alive"] = survive
+        ro_next = it["p"] + it["ng"] * offset_sign[:, None]
+        c["state"] = jnp.concatenate([
+            ro_next, wo_world, thr_next, li,
+            eta_sq[:, None], bs["pdf"][:, None],
+        ], axis=-1)
+        # Dead lanes would otherwise keep incrementing depth each idle step
+        # and overflow the 4-bit field into the flag bits.
+        depth_packed = jnp.where(survive, depth, 0) & _DEPTH_MASK
+        c["meta"] = (
+            pix
+            | (depth_packed << _DEPTH_SHIFT)
+            | jnp.where(survive, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(bs["delta"], _PDELTA, 0)
+        )
         c["step"] = c["step"] + 1
         return c
 
     init = {
         "step": jnp.int32(0),
         "film": jnp.zeros((n_pix, 8)),
-        "pix": jnp.zeros((n_lanes,), jnp.int32),
         "cursor": jnp.int32(0),  # global sample counter
-        "alive": jnp.zeros((n_lanes,), bool),
-        "exhausted": jnp.zeros((n_lanes,), bool),
-        "ro": jnp.zeros((n_lanes, 3)),
-        "rd": jnp.zeros((n_lanes, 3)).at[:, 2].set(1.0),
-        "thr": jnp.ones((n_lanes, 3)),
-        "eta_sq": jnp.ones((n_lanes,)),
-        "li": jnp.zeros((n_lanes, 3)),
-        "prev_pdf": jnp.ones((n_lanes,)),
-        "prev_delta": jnp.ones((n_lanes,), bool),
-        "depth": jnp.zeros((n_lanes,), jnp.int32),
+        "state": jnp.zeros((n_lanes, _NCOLS))
+        .at[:, 5].set(1.0)  # rd z
+        .at[:, _THR].set(1.0)
+        .at[:, _ETA2].set(1.0)
+        .at[:, _PPDF].set(1.0),
+        "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
         "n_vert": jnp.float32(0.0),
     }
     out = jax.lax.while_loop(cond, body, init)
