@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -103,9 +105,13 @@ def intersect(scene, ro, rd, t_max=None, chunk: int = 512):
     """
     n_tris = scene.tri_v0.shape[0]
     if n_tris > BRUTE_FORCE_MAX:
-        from . import bvh
+        if os.environ.get("SDMM_TPU_BVH"):
+            from . import bvh
 
-        return bvh.traverse(scene, ro, rd, t_max, any_hit=False)
+            return bvh.traverse(scene, ro, rd, t_max, any_hit=False)
+        from . import clas
+
+        return clas.intersect(scene, ro, rd, t_max)
     if _use_pallas():
         from ..ops.intersect_pallas import mt_sweep_native
 
@@ -164,9 +170,13 @@ def occluded(scene, ro, rd, t_max, chunk: int = 512):
     """Any-hit within (EPS, t_max). Returns bool [N]."""
     n_tris = scene.tri_v0.shape[0]
     if n_tris > BRUTE_FORCE_MAX:
-        from . import bvh
+        if os.environ.get("SDMM_TPU_BVH"):
+            from . import bvh
 
-        return bvh.traverse(scene, ro, rd, t_max, any_hit=True)
+            return bvh.traverse(scene, ro, rd, t_max, any_hit=True)
+        from . import clas
+
+        return clas.occluded(scene, ro, rd, t_max)
     if _use_pallas():
         from ..ops.intersect_pallas import mt_sweep_native
 

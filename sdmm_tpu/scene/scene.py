@@ -139,6 +139,12 @@ class SceneData(NamedTuple):
     ptri_v0: jnp.ndarray  # [3, Tp]
     ptri_e1: jnp.ndarray  # [3, Tp]
     ptri_e2: jnp.ndarray  # [3, Tp]
+    # Cluster sweep (render/clas.py): Morton-ordered triangle clusters,
+    # one wide component-major row per cluster.
+    clas_lo: jnp.ndarray  # [C, 3]
+    clas_hi: jnp.ndarray  # [C, 3]
+    clas_rows: jnp.ndarray  # [C, 9*Tc]
+    clas_ids: jnp.ndarray  # [C, Tc] original tri ids (-1 pad)
 
 
 @dataclass
@@ -483,7 +489,13 @@ class SceneBuilder:
 
         # BVH over the real (unpadded) triangles.
         from ..render.bvh import build_bvh
+        from ..render.clas import build_clusters
 
+        clas = build_clusters(
+            np.asarray(v0[: len(verts)], np.float32),
+            np.asarray(e1[: len(verts)], np.float32),
+            np.asarray(e2[: len(verts)], np.float32),
+        )
         bvh = build_bvh(verts)
         perm = bvh["perm"]
         safe = np.maximum(perm, 0)
@@ -582,6 +594,8 @@ class SceneBuilder:
             btri_v0=f32(btri_v0), btri_e1=f32(btri_e1), btri_e2=f32(btri_e2),
             btri_orig=i32(perm),
             ptri_v0=f32(ptri(v0)), ptri_e1=f32(ptri(e1)), ptri_e2=f32(ptri(e2)),
+            clas_lo=f32(clas["lo"]), clas_hi=f32(clas["hi"]),
+            clas_rows=f32(clas["rows"]), clas_ids=i32(clas["ids"]),
         )
         cfg = RenderConfig(
             width=self.width, height=self.height, max_depth=self.max_depth,
