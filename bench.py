@@ -48,7 +48,19 @@ def main():
     n_lanes = 1 << 17
     spp = 12
 
+    from sdmm_tpu.render.wavefront import fused_supported, render_pool_fused
+
+    use_fused = (
+        jax.default_backend() not in ("cpu",) and fused_supported(scene, cfg)
+    )
+
     def run(seed):
+        if use_fused:
+            return render_pool_fused(
+                scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
+                width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+                rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
+            )
         return render_pool(
             scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
             width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,

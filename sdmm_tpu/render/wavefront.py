@@ -286,18 +286,176 @@ def render_pool(
     }
 
 
+def fused_supported(scene, cfg, nee: bool = True) -> bool:
+    """Host-side gate for the Pallas bounce megakernel (ops/bounce_pallas):
+    diffuse-only, untextured, area-lights-only scenes small enough for the
+    unrolled in-VMEM triangle sweep."""
+    from ..ops import bounce_pallas as bp
+
+    return bool(
+        nee
+        and cfg.bsdf_types == (0,)
+        and not cfg.has_bump
+        and not cfg.has_medium
+        and scene.tri_v0.shape[0] <= bp.MAX_UNROLL_TRIS
+        and 1 <= scene.em_tri_idx.shape[0] <= 64
+        and scene.env_pdf.shape[0] <= 1
+        and scene.pt_pos.shape[0] == 0
+        and scene.textures.shape[1] <= 1
+        and cfg.width * cfg.height <= _PIX_MASK
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "interpret",
+))
+def render_pool_fused(
+    scene,
+    key,
+    n_lanes: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    interpret: bool = False,
+):
+    """render_pool with the whole bounce in one Pallas megakernel.
+
+    Same regenerating-lane-pool driver (regen + film scatter stay in XLA);
+    the per-bounce physics runs in ops/bounce_pallas.diffuse_bounce. Lane
+    state is attribute-major [16, n_lanes] so kernel tiles are [RT, 128]
+    blocks. Callers must pass fused_supported scenes; NEE is always on.
+    """
+    from ..ops import bounce_pallas as bp
+
+    n_pix = width * height
+    assert n_pix <= _PIX_MASK
+    assert max_depth <= _DEPTH_MASK + 1
+    assert n_lanes % (bp.RT * 128) == 0, n_lanes
+    total = n_pix * spp
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+
+    def cond(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_bounce = jax.random.split(k, 2)
+
+        st = c["state"]  # [16, N]
+        meta = c["meta"]  # [N]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        pix = meta & _PIX_MASK
+
+        # --- Regenerate dead lanes (same dynamic counter as render_pool) ---
+        need = ~alive & ~exhausted
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        g = c["cursor"] + rank
+        in_budget = need & (g < total)
+        pix_n = jnp.where(in_budget, g % n_pix, 0)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        px = (pix_n % width).astype(jnp.float32) + u[:, 0]
+        py = (pix_n // width).astype(jnp.float32) + u[:, 1]
+        ro_n, rd_n = generate_rays(
+            scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
+        )
+        start = in_budget
+        exhausted = exhausted | (need & ~in_budget)
+        c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
+        pix = jnp.where(start, pix_n, pix)
+        fresh = jnp.concatenate([
+            ro_n.T, rd_n.T, jnp.ones((3, n_lanes)), jnp.zeros((3, n_lanes)),
+            jnp.ones((2, n_lanes)), jnp.zeros((2, n_lanes)),
+        ], axis=0)
+        st = jnp.where(start[None, :], fresh, st)
+        meta = (
+            pix
+            | jnp.where(alive | start, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(start, _PDELTA, meta & _PDELTA)
+            | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+        )
+
+        # --- One bounce: the megakernel ---
+        rand = jax.random.uniform(k_bounce, (6, r_rows, 128))
+        nstate, nmeta, splat = bp.diffuse_bounce(
+            st.reshape(16, r_rows, 128),
+            meta.reshape(r_rows, 128),
+            rand,
+            tri_rows, em_rows, env_row,
+            n_tris=n_tris, n_em=n_em,
+            max_depth=max_depth, rr_depth=rr_depth,
+            interpret=interpret,
+        )
+        c["state"] = nstate.reshape(16, n_lanes)
+        c["meta"] = nmeta.reshape(n_lanes)
+
+        sp = splat.reshape(8, n_lanes)
+        c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+        rows = jnp.concatenate([sp[0:7].T, jnp.zeros((n_lanes, 1))], axis=-1)
+        c["film"] = c["film"].at[pix].add(rows)
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_pix, 8)),
+        "cursor": jnp.int32(0),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)  # rd z
+        .at[_THR].set(1.0)
+        .at[_ETA2].set(1.0)
+        .at[_PPDF].set(1.0),
+        "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return {
+        "image": out["film"][:, 0:3],
+        "sqr": out["film"][:, 3:6],
+        "weight": out["film"][:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+    }
+
+
 def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
                      n_lanes: int = 1 << 18, nee: bool = True):
     """Host-facing wrapper matching renderer.render's output dict."""
     import numpy as np
 
-    out = render_pool(
-        scene, jax.random.PRNGKey(seed), n_lanes=min(n_lanes, cfg.width * cfg.height * spp),
-        spp=spp, width=cfg.width, height=cfg.height,
-        max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
-        bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
-        has_bump=cfg.has_bump,
-    )
+    # Interpret-mode Pallas is for tests; route real CPU renders to the
+    # XLA pool instead.
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and fused_supported(scene, cfg, nee):
+        from ..ops import bounce_pallas as bp
+
+        tile = bp.RT * 128
+        lanes = min(n_lanes, cfg.width * cfg.height * spp)
+        lanes = max(tile, (lanes // tile) * tile)
+        out = render_pool_fused(
+            scene, jax.random.PRNGKey(seed), n_lanes=lanes, spp=spp,
+            width=cfg.width, height=cfg.height,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            fov_axis=cfg.fov_axis,
+        )
+    else:
+        out = render_pool(
+            scene, jax.random.PRNGKey(seed),
+            n_lanes=min(n_lanes, cfg.width * cfg.height * spp),
+            spp=spp, width=cfg.width, height=cfg.height,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
+            bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
+            has_bump=cfg.has_bump,
+        )
     image = np.asarray(out["image"])
     weight = np.asarray(out["weight"])
     return {
