@@ -112,13 +112,20 @@ def sample_emission(scene, key, n: int):
                  + s_d * disk[..., 0:1] + t_d * disk[..., 1:2])
         beta_dir = inten * (jnp.pi * radius * radius / jnp.maximum(pmf, 1e-9))[:, None]
 
+        # collimated (kind 3): doubly-delta — emit the beam ray itself
+        # (reference: collimated.cpp sampleRay, power carried verbatim).
+        beta_col = inten / jnp.maximum(pmf, 1e-9)[:, None]
+
         is_spot = kind == 1
         is_dir = kind == 2
+        is_col = kind == 3
         d_pt = jnp.where(is_dir[:, None], jnp.broadcast_to(d_dir, d_sph.shape),
                          jnp.where(is_spot[:, None], d_cone, d_sph))
+        d_pt = jnp.where(is_col[:, None], scene.pt_dir[sel_pt], d_pt)
         p_pt = jnp.where(is_dir[:, None], p_dir, scene.pt_pos[sel_pt])
         beta_k = jnp.where(is_dir[:, None], beta_dir,
                            jnp.where(is_spot[:, None], beta_spot, beta_pt))
+        beta_k = jnp.where(is_col[:, None], beta_col, beta_k)
         pick = pick_pt
         out["p"] = jnp.where(pick[:, None], p_pt, out["p"])
         out["d"] = jnp.where(pick[:, None], d_pt, out["d"])

@@ -126,7 +126,9 @@ def sample_direct(scene, p: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
         rec_pt = {
             "d": d_pt, "dist": dist, "pdf": jnp.ones(n_rays),
             "radiance": rad_pt, "n": -d_pt,
-            "valid": is_dir | (dist2 > 1e-12),
+            # Collimated beams (kind 3) are doubly-delta: direct sampling
+            # always fails (reference: collimated.cpp:126 pdfDirect = 0).
+            "valid": (is_dir | (dist2 > 1e-12)) & (kind != 3),
             "delta": jnp.ones(n_rays, dtype=bool),
         }
     else:

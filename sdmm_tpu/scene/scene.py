@@ -254,6 +254,18 @@ class SceneBuilder:
             "dir": d / np.linalg.norm(d), "cutoff": 180.0, "beam": 180.0,
         })
 
+    def add_collimated_light(self, origin, direction, power):
+        """Collimated beam: doubly-delta (position + direction) emitter
+        (reference: src/emitters/collimated.cpp). Unreachable by NEE
+        (0-D response, sampleDirect pdf = 0 at collimated.cpp:126);
+        contributes through light-tracing integrators (ptracer/bdpt)."""
+        d = np.asarray(direction, dtype=np.float64)
+        self.point_lights.append({
+            "kind": 3, "pos": np.asarray(origin, dtype=np.float64),
+            "intensity": np.asarray(power, dtype=np.float64),
+            "dir": d / np.linalg.norm(d), "cutoff": 180.0, "beam": 180.0,
+        })
+
     def add_medium(self, sigma_t, albedo=None, g: float = 0.0,
                    density: np.ndarray | None = None,
                    vol_lo=None, vol_hi=None) -> int:

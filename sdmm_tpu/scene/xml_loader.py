@@ -255,6 +255,14 @@ class XMLLoader:
                         d = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
                     irr = np.asarray(p.get("irradiance", np.ones(3))).reshape(3)
                     self.builder.add_directional_light(d, irr)
+                elif etype == "collimated":
+                    # Beam from toWorld origin along its +z axis
+                    # (reference: src/emitters/collimated.cpp sampleRay).
+                    m = p.get("toWorld", np.eye(4))
+                    pos = m[:3, 3]
+                    direction = m[:3, :3] @ np.array([0.0, 0.0, 1.0])
+                    power = np.asarray(p.get("power", np.ones(3))).reshape(3)
+                    self.builder.add_collimated_light(pos, direction, power)
                 elif etype == "envmap":
                     scale = float(p.get("scale", 1.0))
                     img = None

@@ -86,3 +86,38 @@ def test_vpl_approximates_global_illumination():
     idir = np.asarray(res_d["image"])
     assert abs(iv.mean() - ic.mean()) < 0.25 * ic.mean(), (iv.mean(), ic.mean())
     assert iv.mean() > idir.mean() * 1.02, (iv.mean(), idir.mean())
+
+
+def test_collimated_beam():
+    """Collimated beam (reference: src/emitters/collimated.cpp): invisible
+    to NEE/path tracing, deposits its power via light tracing."""
+    import sdmm_tpu.scene.shapes as shp
+
+    b = SceneBuilder()
+    white = b.add_bsdf(BSDF_DIFFUSE, albedo=[0.7, 0.7, 0.7])
+    rot = np.eye(4)
+    a = np.deg2rad(-90.0)
+    rot[1:3, 1:3] = [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]
+    b.add_shape(shp.make_rectangle(rot, False), white)
+    cam = np.eye(4)
+    cam[:3, 3] = [0.0, 1.0, 2.5]
+    cam[0, 0] = -1.0
+    cam[2, 2] = -1.0
+    b.set_sensor(cam, 60.0, 32, 32)
+    b.add_collimated_light([0.2, 1.0, 0.0], [0.0, -1.0, 0.0], [5.0, 5.0, 5.0])
+    scene, cfg = b.build()
+
+    res = pt.render_ptracer(scene, cfg, spp=64, paths_per_wave=1 << 14)
+    img = np.asarray(res["image"]).reshape(cfg.height, cfg.width, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0  # the lit spot scatters into the camera
+
+    # NEE direct sampling never reaches a doubly-delta emitter.
+    from sdmm_tpu.scene import emitters as em_mod
+
+    p = jnp.zeros((64, 3)).at[:, 1].set(0.5)
+    rec = em_mod.sample_direct(
+        scene, p, jnp.linspace(0, 0.99, 64), jax.random.uniform(
+            jax.random.PRNGKey(3), (64, 2))
+    )
+    assert not bool(np.asarray(rec["valid"]).any())
