@@ -26,6 +26,7 @@ from ..scene.scene import (
     BSDF_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_DIFFTRANS,
+    BSDF_HK,
     BSDF_DIFFUSE,
     BSDF_MASK,
     BSDF_NULL,
@@ -497,7 +498,72 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
                       jnp.where(is_dt[..., None], 0.0, f))
         pdf = jnp.where(is_dt & trans, pdf_dt,
                         jnp.where(is_dt, 0.0, pdf))
+
+    if has(BSDF_HK):
+        # Hanrahan-Krueger single-scattering slab (reference: bsdfs/hk.cpp
+        # eval, ESolidAngle branch). Two-sided + transmissive: applied
+        # after the front gate with true cosine signs. Column mapping:
+        # albedo = sigmaS, specular = sigmaA, alpha = thickness,
+        # eta = HG phase g. The delta transmission lobe lives in sample()
+        # (EDiscrete measure — excluded from solid-angle eval/pdf).
+        f_hk, pdf_hk = _eval_pdf_hk(params, wi, wo, cos_i, cos_o)
+        is_hk = t == BSDF_HK
+        f = jnp.where(is_hk[..., None], f_hk, f)
+        pdf = jnp.where(is_hk, pdf_hk, pdf)
     return f, pdf
+
+
+def _hg_phase(g, wi, wo):
+    """HG phase of the (wi, wo) away-facing pair (reference: phase/hg.cpp
+    eval — 1+g^2+2g dot(wi,wo) with both directions pointing away)."""
+    denom = 1.0 + g * g + 2.0 * g * jnp.sum(wi * wo, axis=-1)
+    return (1.0 - g * g) / (
+        4.0 * jnp.pi * jnp.power(jnp.maximum(denom, 1e-8), 1.5)
+    )
+
+
+def _hk_quantities(params, cos_i):
+    sig_s = params["albedo"]
+    sig_a = params["specular"]
+    sig_t = sig_s + sig_a
+    tau_d = sig_t * params["alpha"][..., None]
+    alb = jnp.where(sig_t > 0.0, sig_s / jnp.maximum(sig_t, 1e-20), 0.0)
+    aci = jnp.maximum(jnp.abs(cos_i), 1e-6)
+    # Discrete unscattered-transmission probability: average over channels
+    # of exp(-tauD/|cos_i|) (hk.cpp:326).
+    p_spec = jnp.mean(jnp.exp(-tau_d / aci[..., None]), axis=-1)
+    return tau_d, alb, aci, p_spec
+
+
+def _eval_pdf_hk(params, wi, wo, cos_i, cos_o):
+    tau_d, alb, aci, p_spec = _hk_quantities(params, cos_i)
+    aco = jnp.maximum(jnp.abs(cos_o), 1e-6)
+    g = params["eta"]
+    phase = _hg_phase(g, wi, wo)
+    dp = cos_i * cos_o
+    refl = dp > 1e-9
+    trans = dp < -1e-9
+
+    f_r = alb * (phase * cos_i / jnp.where(
+        jnp.abs(cos_i + cos_o) > 1e-6, cos_i + cos_o, 1e-6
+    ))[..., None] * (
+        1.0 - jnp.exp((-1.0 / aci - 1.0 / aco)[..., None] * tau_d)
+    )
+    near = jnp.abs(aci - aco) < 1e-5
+    den = jnp.where(near, 1.0, aci - aco)
+    f_t = alb * (phase * aci / den)[..., None] * (
+        jnp.exp(-tau_d / aci[..., None]) - jnp.exp(-tau_d / aco[..., None])
+    )
+    f_t_lim = alb * phase[..., None] * (tau_d / aco[..., None]) * jnp.exp(
+        -tau_d / aco[..., None]
+    )
+    f_t = jnp.where(near[..., None], f_t_lim, f_t)
+    f = jnp.where(refl[..., None], f_r,
+                  jnp.where(trans[..., None], f_t, 0.0)) * aco[..., None]
+    # Sampled by the phase lobe, conditioned on not taking the delta
+    # transmission (hk.cpp pdf:300-307).
+    pdf = jnp.where(refl | trans, phase * (1.0 - p_spec), 0.0)
+    return jnp.maximum(f, 0.0), jnp.maximum(pdf, 0.0)
 
 
 def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
@@ -747,6 +813,36 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         w_sel.append((BSDF_ROUGHPLASTIC, w_rp))
         pdf_sel.append((BSDF_ROUGHPLASTIC, pdf_rp_e))
 
+    if has(BSDF_HK):
+        # HK sampling (reference: hk.cpp sample:305-374): pick the delta
+        # transmission with the average unscattered probability, otherwise
+        # sample the HG phase lobe and weight by eval/pdf.
+        from ..render.medium import hg_sample
+
+        tau_d, _, aci_hk, p_spec = _hk_quantities(params, cos_i)
+        pick_spec_hk = u1 < p_spec
+        wo_spec_hk = -wi
+        w_spec_hk = jnp.exp(-tau_d / aci_hk[..., None]) / jnp.maximum(
+            p_spec, 1e-9
+        )[..., None]
+        wo_hg, _ = hg_sample(params["eta"], -wi, u2)
+        f_hg, pdf_hg = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_HK)}, wi, wo_hg,
+            types=(BSDF_HK,),
+        )
+        w_hg = jnp.where(
+            (pdf_hg > 0.0)[..., None],
+            f_hg / jnp.maximum(pdf_hg, 1e-20)[..., None], 0.0,
+        )
+        wo_hk = jnp.where(pick_spec_hk[..., None], wo_spec_hk, wo_hg)
+        w_hk = jnp.where(pick_spec_hk[..., None], w_spec_hk, w_hg)
+        pdf_hk = jnp.where(pick_spec_hk, p_spec, pdf_hg)
+        wo_sel.append((BSDF_HK, wo_hk))
+        w_sel.append((BSDF_HK, w_hk))
+        pdf_sel.append((BSDF_HK, pdf_hk))
+        delta = delta | ((t == BSDF_HK) & pick_spec_hk)
+        passthrough = passthrough | ((t == BSDF_HK) & pick_spec_hk)
+
     # --- combine by type mask ---
     wo = jnp.zeros_like(wi).at[..., 2].set(1.0)
     weight = jnp.zeros(wi.shape[:-1] + (3,))
@@ -764,6 +860,7 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
     # Reflective models need wi on the front side.
     needs_front = (
         (t != BSDF_DIELECTRIC) & (t != BSDF_ROUGHDIELECTRIC) & (t != BSDF_NULL)
+        & (t != BSDF_HK)
     )
     ok = jnp.where(needs_front, cos_i > 1e-6, True)
     weight = jnp.where(ok[..., None], weight, 0.0)

@@ -43,12 +43,13 @@ def shading_frame(params, ns, wi_world):
     true normal for dielectrics.
     """
     cos_i = jnp.sum(ns * wi_world, axis=-1)
-    from ..scene.scene import BSDF_NULL, BSDF_ROUGHDIELECTRIC
+    from ..scene.scene import BSDF_HK, BSDF_NULL, BSDF_ROUGHDIELECTRIC
 
     transmissive = (
         (params["type"] == BSDF_DIELECTRIC)
         | (params["type"] == BSDF_ROUGHDIELECTRIC)
         | (params["type"] == BSDF_NULL)
+        | (params["type"] == BSDF_HK)
     )
     flip = (cos_i < 0.0) & ~transmissive
     n = jnp.where(flip[..., None], -ns, ns)

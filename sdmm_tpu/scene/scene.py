@@ -39,6 +39,7 @@ BSDF_MASK = 11  # opacity mask over a child (reference: bsdfs/mask.cpp)
 BSDF_ROUGHDIFFUSE = 12  # Oren-Nayar (reference: bsdfs/roughdiffuse.cpp)
 BSDF_DIFFTRANS = 13  # diffuse transmitter (reference: bsdfs/difftrans.cpp)
 BSDF_COATING = 14  # dielectric layer over a child (reference: bsdfs/coating.cpp)
+BSDF_HK = 15  # Hanrahan-Krueger single-scattering slab (reference: bsdfs/hk.cpp)
 
 DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
 

@@ -493,6 +493,36 @@ class XMLLoader:
             kwargs["specular"] = p.get("specularReflectance", np.ones(3))
             kwargs["eta"] = int_v / ext_v
             kwargs["alpha"] = float(p.get("alpha", 0.1))
+        elif btype == "hk":
+            # Hanrahan-Krueger slab (reference: bsdfs/hk.cpp). Accepts
+            # sigmaS/sigmaA or sigmaT+albedo; nested hg phase sets g.
+            from .scene import BSDF_HK
+
+            code = BSDF_HK
+            if "sigmaT" in p:
+                sig_t = np.asarray(p["sigmaT"], np.float64).reshape(-1)
+                sig_t = np.broadcast_to(sig_t, (3,)).astype(np.float64)
+                alb = np.broadcast_to(
+                    np.asarray(p.get("albedo", 0.8), np.float64).reshape(-1), (3,)
+                )
+                sig_s = sig_t * alb
+                sig_a = sig_t - sig_s
+            else:
+                sig_s = np.broadcast_to(
+                    np.asarray(p.get("sigmaS", 2.0), np.float64).reshape(-1), (3,)
+                )
+                sig_a = np.broadcast_to(
+                    np.asarray(p.get("sigmaA", 0.05), np.float64).reshape(-1), (3,)
+                )
+            g = 0.0
+            for sub in el:
+                if sub.tag == "phase" and sub.get("type") == "hg":
+                    pp = _props(sub, self.variables)
+                    g = float(pp.get("g", 0.0))
+            kwargs["albedo"] = sig_s
+            kwargs["specular"] = sig_a
+            kwargs["alpha"] = float(p.get("thickness", 1.0))
+            kwargs["eta"] = g
         else:
             code = BSDF_DIFFUSE
             kwargs["albedo"] = p.get("reflectance", np.full(3, 0.5))

@@ -15,6 +15,7 @@ from sdmm_tpu.core.frame import normalize
 from sdmm_tpu.scene.scene import (
     BSDF_DIFFTRANS,
     BSDF_DIFFUSE,
+    BSDF_HK,
     BSDF_PHONG,
     BSDF_PLASTIC,
     BSDF_ROUGHCONDUCTOR,
@@ -85,6 +86,12 @@ WI_ANGLES = [
     (BSDF_WARD, {"alpha": 0.35, "alpha_v": 0.35}),
     (BSDF_ROUGHDIFFUSE, {"alpha": 0.4}),
     (BSDF_DIFFTRANS, {}),
+    # hk: eta carries the HG g, alpha the slab thickness,
+    # albedo/specular are sigmaS/sigmaA (reference: bsdfs/hk.cpp).
+    (BSDF_HK, {"albedo": [2.0, 2.0, 2.0], "specular": [0.1, 0.1, 0.1],
+               "alpha": 0.4, "eta": 0.0}),
+    (BSDF_HK, {"albedo": [1.5, 1.0, 0.7], "specular": [0.05, 0.1, 0.2],
+               "alpha": 0.8, "eta": 0.5}),
 ])
 def test_bsdf_chi2(btype, over):
     wi = np.asarray(WI_ANGLES[1])
@@ -118,3 +125,32 @@ def test_energy_conservation_white_furnace():
     f, _ = bsdf_mod.eval_pdf(p, wi, dirs)
     integral = float(jnp.mean(jnp.max(f, axis=-1)) * 4 * np.pi)
     assert integral <= 1.05, integral
+
+
+def test_hk_energy_and_delta_transmission():
+    """HK slab: white-furnace energy bound and the delta lobe's attenuation
+    (reference: hk.cpp eval EDiscrete — exp(-tauD/|cos|))."""
+    n = 100_000
+    over = {"albedo": [1.0, 1.0, 1.0], "specular": [0.0, 0.0, 0.0],
+            "alpha": 0.5, "eta": 0.3}
+    params = make_params(BSDF_HK, n, **over)
+    wi = jnp.asarray([0.3, 0.1, np.sqrt(1 - 0.1)], dtype=jnp.float32)
+    wi = wi / jnp.linalg.norm(wi)
+    wi_b = jnp.tile(wi, (n, 1))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n, 2))
+    bs = bsdf_mod.sample(params, wi_b, u1, u2)
+    w = np.asarray(bs["weight"])
+    delta = np.asarray(bs["delta"])
+    # No absorption (sigmaA = 0): total reflect+transmit energy <= 1 and,
+    # for a single-scattering approximation, substantially positive.
+    mean_w = w.mean(0)[0]
+    assert 0.3 < mean_w <= 1.0 + 1e-3, mean_w
+    # Delta samples pass straight through.
+    wo_d = np.asarray(bs["wo"])[delta]
+    np.testing.assert_allclose(wo_d, -np.asarray(wi_b)[delta], atol=1e-6)
+    # Delta fraction equals the average unscattered probability.
+    tau = 1.0 * 0.5  # sigmaT * thickness
+    p_expect = np.exp(-tau / float(wi[2]))
+    assert abs(delta.mean() - p_expect) < 0.01, (delta.mean(), p_expect)
