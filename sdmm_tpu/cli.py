@@ -127,6 +127,23 @@ def cmd_render(args):
                  "mean": float(np.asarray(image).mean())}
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+    elif integrator == "irrcache":
+        from .render.irrcache import render_irrcache
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        res = render_irrcache(
+            scene, cfg, spp=spp, seed=builder.seed,
+            gather_res=int(props.get("resolution", 14)),
+            kappa=float(props.get("quality", 1.0)),
+            indirect_only=bool(props.get("indirectOnly", False)),
+        )
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator == "ptracer":
         from .render.ptracer import render_ptracer
 
@@ -310,7 +327,7 @@ def main(argv=None):
                             "direct", "ao", "field", "ptracer", "vpl",
                             "photonmapper", "ppm", "sppm",
                             "pssmlt", "mlt", "erpt", "bdpt",
-                            "adaptive", "multichannel"])
+                            "adaptive", "multichannel", "irrcache"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)
