@@ -94,6 +94,25 @@ def cmd_render(args):
                     os.path.join(out_dir, f"iteration_sqr{i:05d}.exr"),
                     (it["sqr"] / n).reshape(cfg.height, cfg.width, 3),
                 )
+    elif integrator == "motion":
+        from .render import classic
+        from .render.renderer import render as render_fn
+
+        props = dict(builder.integrator)
+        props.update(overrides)
+        tm = float(props.get("time", 1.0))
+        trace_fn = lambda scene, key, ro, rd: classic.trace_motion(  # noqa: E731
+            scene, key, ro, rd, width=cfg.width, height=cfg.height,
+            time=tm, fov_axis=cfg.fov_axis,
+        )
+        res = render_fn(scene, cfg, spp=spp, seed=builder.seed,
+                        trace_fn=trace_fn)
+        image = res["image"]
+        stats = {"integrator": integrator, "spp": spp,
+                 "seconds": time.time() - t0,
+                 "mean": float(np.asarray(image).mean())}
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     elif integrator in ("direct", "ao", "field"):
         from .render import classic
         from .render.renderer import render as render_fn
@@ -327,7 +346,7 @@ def main(argv=None):
                             "direct", "ao", "field", "ptracer", "vpl",
                             "photonmapper", "ppm", "sppm",
                             "pssmlt", "mlt", "erpt", "bdpt",
-                            "adaptive", "multichannel", "irrcache"])
+                            "adaptive", "multichannel", "irrcache", "motion"])
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)

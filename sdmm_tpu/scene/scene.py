@@ -140,6 +140,14 @@ class SceneData(NamedTuple):
     ptri_v0: jnp.ndarray  # [3, Tp]
     ptri_e1: jnp.ndarray  # [3, Tp]
     ptri_e2: jnp.ndarray  # [3, Tp]
+    # Rigid keyframe animation (reference: <animation name="toWorld"> on
+    # shapes, core/track.h AnimatedTransform). Geometry is baked at t=0;
+    # mot_m0/mot_m1 are the two keyframe matrices per animated shape and
+    # tri_mot maps triangles to them (-1 = static). Consumed by the
+    # motion-vector integrator (render/classic.py trace_motion).
+    mot_m0: jnp.ndarray  # [Ms, 4, 4]
+    mot_m1: jnp.ndarray  # [Ms, 4, 4]
+    tri_mot: jnp.ndarray  # [T] int32
     # Cluster sweep (render/clas.py): Morton-ordered triangle clusters,
     # one wide component-major row per cluster.
     clas_lo: jnp.ndarray  # [C, 3]
@@ -170,6 +178,7 @@ class RenderConfig:
 @dataclass
 class SceneBuilder:
     soups: list[tuple[TriSoup, int, int]] = field(default_factory=list)
+    shape_motion: list = field(default_factory=list)
     bsdfs: list[dict] = field(default_factory=list)
     textures: list[np.ndarray] = field(default_factory=list)  # [R,R,3] each
     texture_res: int = 256
@@ -294,9 +303,13 @@ class SceneBuilder:
         return len(self.media)  # row 0 is vacuum
 
     def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1,
-                  interior: int = 0, exterior: int = -1):
-        """exterior = -1 uses the ambient medium at build time."""
+                  interior: int = 0, exterior: int = -1,
+                  motion: tuple | None = None):
+        """exterior = -1 uses the ambient medium at build time.
+        ``motion``: (M0, M1) keyframe toWorld matrices (geometry is baked
+        at M0)."""
         self.soups.append((soup, bsdf, emitter, interior, exterior))
+        self.shape_motion.append(motion)
 
     def set_sensor(self, to_world: np.ndarray, fov_deg: float, width: int, height: int,
                    fov_axis: str = "x"):
@@ -338,7 +351,12 @@ class SceneBuilder:
             ambient_id = len(media_rows)
 
         all_v, all_n, all_uv, all_b, all_e, all_mi, all_me = [], [], [], [], [], [], []
-        for entry in self.soups:
+        all_mot = []
+        mot_mats = []  # (M0, M1) rows for animated shapes
+        motion_list = list(self.shape_motion) + [None] * (
+            len(self.soups) - len(self.shape_motion)
+        )
+        for entry, mot in zip(self.soups, motion_list):
             soup, bsdf_i, emitter_i = entry[0], entry[1], entry[2]
             interior_i = entry[3] if len(entry) > 3 else 0
             exterior_i = entry[4] if len(entry) > 4 else -1
@@ -352,11 +370,17 @@ class SceneBuilder:
             all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
             all_mi.append(np.full(len(v), interior_i, dtype=np.int32))
             all_me.append(np.full(len(v), exterior_i, dtype=np.int32))
+            if mot is not None:
+                mot_mats.append(mot)
+                all_mot.append(np.full(len(v), len(mot_mats) - 1, np.int32))
+            else:
+                all_mot.append(np.full(len(v), -1, np.int32))
         verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3))
         normals = np.concatenate(all_n) if all_n else np.zeros((0, 3, 3))
         uvs = np.concatenate(all_uv) if all_uv else np.zeros((0, 3, 2))
         tri_bsdf = np.concatenate(all_b) if all_b else np.zeros(0, np.int32)
         tri_emitter = np.concatenate(all_e) if all_e else np.zeros(0, np.int32)
+        tri_mot = np.concatenate(all_mot) if all_mot else np.zeros(0, np.int32)
         tri_medium = np.concatenate(all_mi) if all_mi else np.zeros(0, np.int32)
         tri_medium_ext = np.concatenate(all_me) if all_me else np.zeros(0, np.int32)
 
@@ -400,6 +424,7 @@ class SceneBuilder:
             uvs = np.concatenate([uvs, np.zeros((pad, 3, 2))])
             tri_bsdf = np.concatenate([tri_bsdf, np.zeros(pad, np.int32)])
             tri_emitter = np.concatenate([tri_emitter, np.full(pad, -1, np.int32)])
+            tri_mot = np.concatenate([tri_mot, np.full(pad, -1, np.int32)])
             tri_medium = np.concatenate([tri_medium, np.zeros(pad, np.int32)])
             tri_medium_ext = np.concatenate(
                 [tri_medium_ext, np.full(pad, ambient_id, np.int32)]
@@ -607,6 +632,11 @@ class SceneBuilder:
             btri_v0=f32(btri_v0), btri_e1=f32(btri_e1), btri_e2=f32(btri_e2),
             btri_orig=i32(perm),
             ptri_v0=f32(ptri(v0)), ptri_e1=f32(ptri(e1)), ptri_e2=f32(ptri(e2)),
+            mot_m0=f32(np.stack([m[0] for m in mot_mats])
+                       if mot_mats else np.eye(4)[None]),
+            mot_m1=f32(np.stack([m[1] for m in mot_mats])
+                       if mot_mats else np.eye(4)[None]),
+            tri_mot=i32(tri_mot),
             clas_lo=f32(clas["lo"]), clas_hi=f32(clas["hi"]),
             clas_rows=f32(clas["rows"]), clas_ids=i32(clas["ids"]),
         )

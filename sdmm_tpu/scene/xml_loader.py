@@ -154,6 +154,15 @@ def _props(el, variables) -> dict:
             out[name] = _parse_spectrum(_parse_value(child, variables))
         elif tag == "transform":
             out[name] = _parse_transform(child, variables)
+        elif tag == "animation":
+            # Keyframed toWorld (reference: core/track.h AnimatedTransform):
+            # list of (time, matrix), sorted by time.
+            frames = sorted(
+                ((float(sub.get("time", 0.0)), _parse_transform(sub, variables))
+                 for sub in child if sub.tag == "transform"),
+                key=lambda f: f[0],
+            )
+            out[name] = ("animation", frames)
     return out
 
 
@@ -573,6 +582,13 @@ class XMLLoader:
         stype = _subst(el.get("type"), self.variables)
         p = _props(el, self.variables)
         to_world = p.get("toWorld", np.eye(4))
+        motion = None
+        if isinstance(to_world, tuple) and to_world[0] == "animation":
+            frames = to_world[1]
+            m0 = frames[0][1]
+            m1 = frames[-1][1]
+            motion = (m0, m1)
+            to_world = m0  # geometry baked at the first keyframe
         flip = bool(p.get("flipNormals", False))
 
         if stype == "shapegroup":
@@ -733,7 +749,8 @@ class XMLLoader:
             collect.append((soup, bsdf_idx, emitter_idx, interior_med))
         else:
             self.builder.add_shape(
-                soup, bsdf_idx, emitter_idx, interior=interior_med
+                soup, bsdf_idx, emitter_idx, interior=interior_med,
+                motion=motion,
             )
 
 
