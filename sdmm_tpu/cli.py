@@ -332,6 +332,14 @@ def cmd_compare(args):
     print(json.dumps(m, indent=2))
 
 
+def cmd_import(args):
+    from .scene.collada import import_collada
+
+    n = import_collada(args.dae, args.output)
+    print(f"Imported {n} meshes from {args.dae} -> {args.output}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="sdmm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -366,6 +374,15 @@ def main(argv=None):
     c.add_argument("image")
     c.add_argument("reference")
     c.set_defaults(fn=cmd_compare)
+
+    i = sub.add_parser(
+        "import",
+        help="convert a COLLADA .dae scene to scene XML + OBJ meshes "
+             "(reference: mtsimport, src/converter/)",
+    )
+    i.add_argument("dae")
+    i.add_argument("-o", "--output", required=True, help="output scene .xml")
+    i.set_defaults(fn=cmd_import)
 
     args = ap.parse_args(argv)
     return args.fn(args)
