@@ -230,11 +230,12 @@ def cmd_render(args):
                 chain_length=int(props.get("chainLength", 32)),
             )
         else:
-            # 'mlt' maps to the PSS chain (Veach perturbations not
-            # re-implemented; see GAPS.md).
+            # 'mlt' adds the Veach perturbation set (lens/caustic/
+            # bidirectional analogs restated in PSS — see render/pssmlt.py).
             res = psm.render_pssmlt(
                 scene, cfg, spp=spp, seed=builder.seed,
                 p_large=float(props.get("pLarge", 0.3)),
+                mutations="veach" if integrator == "mlt" else "kelemen",
             )
         image = res["image"]
         stats = {"integrator": integrator, "spp": spp,

@@ -11,9 +11,17 @@ is a deterministic function of a fixed-size primary sample vector (one
 slot per potential random decision), so a chain mutation is just a vector
 perturbation — no sampler replay machinery needed.
 
-Veach-style path-space MLT (reference: integrators/mlt) is covered by the
-same PSS machinery here; the bidirectional/caustic perturbations are not
-re-implemented (GAPS.md).
+Veach-style MLT (reference: mitsuba/src/integrators/mlt/mlt.cpp) runs on
+the same machinery with ``mutations="veach"``: its perturbation set is
+restated in primary-sample space — lens perturbations move only the two
+image-plane dims with an exponentially distributed screen radius
+(mlt.cpp lensPerturbation), caustic/tail perturbations move only the
+final bounce's decision dims (causticPerturbation), the bidirectional
+mutation's role (ergodicity/global moves) is taken by large steps, and
+multi-chain-style local moves by Kelemen small steps. Because the path
+is a deterministic function of the PSS vector, the specular-chain
+reprojection the reference does in path space happens implicitly (the
+same lobe decisions replay at the perturbed pixel).
 """
 
 from __future__ import annotations
@@ -129,6 +137,26 @@ def eval_path(scene, u, width: int, height: int, max_depth: int = 6,
     return {"pix": pix, "value": li, "lum": lum}
 
 
+def _lens_step(key, u, width, height, r1=0.1, r2_frac=0.05):
+    """Veach lens perturbation in PSS: move only the image-plane dims by
+    an exponentially distributed pixel radius (reference: mlt.cpp)."""
+    k1, k2 = jax.random.split(key)
+    r2 = r2_frac * width
+    r = r2 * jnp.exp(-jnp.log(r2 / r1) * jax.random.uniform(k1, u.shape[:1]))
+    phi = 2.0 * jnp.pi * jax.random.uniform(k2, u.shape[:1])
+    du = jnp.stack([r * jnp.cos(phi) / width, r * jnp.sin(phi) / height], -1)
+    v = u.at[:, 0:2].add(du)
+    return v - jnp.floor(v)
+
+
+def _tail_step(key, u, n_bounce_dims=7, s1=1.0 / 256.0, s2=1.0 / 16.0):
+    """Caustic-style perturbation: mutate only the last bounce's decision
+    dims, replaying everything earlier (reference: mlt.cpp
+    causticPerturbation restated in PSS)."""
+    tail = _small_step(key, u[:, -n_bounce_dims:], s1, s2)
+    return u.at[:, -n_bounce_dims:].set(tail)
+
+
 def _small_step(key, u, s1=1.0 / 1024.0, s2=1.0 / 64.0):
     """Kelemen exponential perturbation with wrap-around
     (reference: pssmlt_sampler.cpp mutate())."""
@@ -142,7 +170,8 @@ def _small_step(key, u, s1=1.0 / 1024.0, s2=1.0 / 64.0):
 
 def render_pssmlt(scene, cfg, spp: int = 16, seed: int = 1234,
                   n_chains: int = 1 << 14, p_large: float = 0.3,
-                  n_bootstrap: int = 1 << 16, max_depth: int | None = None):
+                  n_bootstrap: int = 1 << 16, max_depth: int | None = None,
+                  mutations: str = "kelemen"):
     """Kelemen PSSMLT with expected-value splatting.
 
     ``spp`` sets the mutation budget to spp·n_pixels. The normalization
@@ -184,10 +213,24 @@ def render_pssmlt(scene, cfg, spp: int = 16, seed: int = 1234,
         def step(carry, k):
             film, u_cur, cur_pix, cur_val, cur_lum = carry
             k1, k2, k3 = jax.random.split(k, 3)
-            large = jax.random.uniform(k1, (n_chains,)) < p_large
             u_large = jax.random.uniform(k2, (n_chains, dims))
-            u_small = _small_step(k3, u_cur)
-            u_prop = jnp.where(large[:, None], u_large, u_small)
+            if mutations == "veach":
+                # Mutation mixture (all proposals symmetric): 30% large
+                # (bidirectional analog), 30% lens, 20% caustic/tail, 20%
+                # Kelemen small.
+                sel = jax.random.uniform(k1, (n_chains,))
+                u_lens = _lens_step(jax.random.fold_in(k3, 1), u_cur, w, h)
+                u_tail = _tail_step(jax.random.fold_in(k3, 2), u_cur)
+                u_small = _small_step(jax.random.fold_in(k3, 3), u_cur)
+                u_prop = jnp.where(
+                    (sel < 0.3)[:, None], u_large,
+                    jnp.where((sel < 0.6)[:, None], u_lens,
+                              jnp.where((sel < 0.8)[:, None], u_tail,
+                                        u_small)))
+            else:
+                large = jax.random.uniform(k1, (n_chains,)) < p_large
+                u_small = _small_step(k3, u_cur)
+                u_prop = jnp.where(large[:, None], u_large, u_small)
             prop = eval_path(scene, u_prop, w, h, max_depth=depth,
                              bsdf_types=types, fov_axis=cfg.fov_axis)
             a = jnp.clip(prop["lum"] / jnp.maximum(cur_lum, 1e-12), 0.0, 1.0)

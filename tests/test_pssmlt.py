@@ -67,3 +67,19 @@ def test_erpt_matches_pathtracer():
     res_c = render(scene, cfg, spp=32)
     ratio = out["image"].mean() / np.asarray(res_c["image"]).mean()
     assert abs(ratio - 1.0) < 0.08, ratio
+
+
+def test_mlt_veach_mutations_match_path():
+    """Veach-mutation MLT must integrate the same measurement as the path
+    tracer (reference: mlt.cpp perturbations; restated in PSS)."""
+    scene, cfg = make_box_scene(24, 24).build()
+    cfg.max_depth = 5
+    res_m = ps.render_pssmlt(scene, cfg, spp=48, n_chains=1 << 12,
+                              n_bootstrap=1 << 14, mutations="veach")
+    res_p = render(scene, cfg, spp=64)
+    m_m = np.asarray(res_m["image"]).mean()
+    m_p = np.asarray(res_p["image"]).mean()
+    assert res_m["b"] > 0
+    assert abs(m_m - m_p) / m_p < 0.12, (m_m, m_p)
+    # Lens/caustic moves are local: acceptance should be healthy.
+    assert res_m["acceptance"] > 0.2
