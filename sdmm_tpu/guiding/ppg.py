@@ -5,12 +5,18 @@ TPU-native re-design of the reference's ``guided_path`` plugin
 :162, DTree :378, STree :852, iterative budget doubling, learned
 bsdfSamplingFraction :1030-1076). Departures for the TPU:
 
-- The adaptive per-leaf directional *quadtree* becomes a dense
+- The adaptive per-leaf directional *quadtree* is stored as a dense
   [leaves, RES, RES] histogram over the same cylindrical (cosθ, φ) square
-  mapping (guided_path.cpp canonicalToDir) — constant-shape arrays whose
-  sampling is a flattened-CDF draw and whose training is one scatter-add;
-  the quadtree's adaptivity is traded for a resolution high enough to
-  match its leaf granularity (16² = 256 cells ≈ a depth-4 quadtree).
+  mapping (guided_path.cpp canonicalToDir) — i.e. a COMPLETE depth-4
+  quadtree laid out breadth-last. Adaptivity is recovered at sample/pdf
+  time from the histogram's mip pyramid: a node counts as subdivided
+  while its flux exceeds ``rho`` of the leaf total (the reference's 1%
+  subdivision rule, guided_path.cpp QuadTreeNode::refine), so sampling
+  descends the 4-way CDFs and stops at unsubdivided nodes, and the pdf is
+  piecewise-constant over the *adaptive* cells. rho = 0 degenerates to
+  the plain finest-level histogram. Training stays one scatter-add at the
+  finest level (the pyramid is rebuilt from it on the fly — no pointer
+  tree, no refinement pass).
 - The spatial binary tree, train-then-render iteration structure, and
   one-sample BSDF/guide MIS match the reference.
 """
@@ -82,11 +88,91 @@ def histogram_sample(hist_g: jnp.ndarray, key) -> jnp.ndarray:
     return cell_to_dir(cell, jitter)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction", "bsdf_types"))
+LEVELS = 4  # log2(RES): depth of the complete quadtree
+
+
+def _mips(hist_g: jnp.ndarray):
+    """Per-ray mip pyramid: list of [N, 2^l, 2^l] for l = 0..LEVELS."""
+    n = hist_g.shape[0]
+    lv = [hist_g.reshape(n, RES, RES)]
+    for _ in range(LEVELS):
+        h = lv[-1]
+        r = h.shape[1] // 2
+        lv.append(h.reshape(n, r, 2, r, 2).sum(axis=(2, 4)))
+    return lv[::-1]
+
+
+def _gather_node(mip, y, x):
+    r = mip.shape[1]
+    flat = mip.reshape(mip.shape[0], -1)
+    return jnp.take_along_axis(flat, (y * r + x)[..., None], axis=-1)[..., 0]
+
+
+def quadtree_pdf(hist_g: jnp.ndarray, d: jnp.ndarray,
+                 rho: float = 0.01) -> jnp.ndarray:
+    """Solid-angle pdf under the adaptive quadtree: constant over the
+    deepest ancestor node that stops subdividing (flux <= rho*total)."""
+    mips = _mips(hist_g)
+    total = mips[0][:, 0, 0]
+    ct = jnp.clip((d[..., 2] + 1.0) * 0.5, 0.0, 1.0 - 1e-7)
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    u = (phi / (2.0 * jnp.pi)) % 1.0
+    xi = jnp.clip((u * RES).astype(jnp.int32), 0, RES - 1)
+    yi = jnp.clip((ct * RES).astype(jnp.int32), 0, RES - 1)
+    pdf = jnp.zeros_like(total)
+    frozen = jnp.zeros(total.shape, bool)
+    for l in range(LEVELS + 1):
+        y_l = yi >> (LEVELS - l)
+        x_l = xi >> (LEVELS - l)
+        f_l = _gather_node(mips[l], y_l, x_l)
+        subdiv = (f_l > rho * total) & (l < LEVELS)
+        pdf = jnp.where(~frozen & ~subdiv,
+                        f_l * (4.0 ** l) / (jnp.maximum(total, 1e-20)
+                                            * FOUR_PI), pdf)
+        frozen = frozen | ~subdiv
+    return jnp.where(total > 0, pdf, 0.0)
+
+
+def quadtree_sample(hist_g: jnp.ndarray, key, rho: float = 0.01):
+    """Hierarchical descent sampling matching quadtree_pdf."""
+    mips = _mips(hist_g)
+    n = hist_g.shape[0]
+    total = mips[0][:, 0, 0]
+    y = jnp.zeros(n, jnp.int32)
+    x = jnp.zeros(n, jnp.int32)
+    lvl = jnp.zeros(n, jnp.int32)
+    frozen = total <= 0.0
+    for l in range(LEVELS):
+        f_l = _gather_node(mips[l], y, x)
+        subdiv = ~frozen & (f_l > rho * total)
+        c00 = _gather_node(mips[l + 1], 2 * y, 2 * x)
+        c01 = _gather_node(mips[l + 1], 2 * y, 2 * x + 1)
+        c10 = _gather_node(mips[l + 1], 2 * y + 1, 2 * x)
+        u = jax.random.uniform(jax.random.fold_in(key, l), (n,)) * f_l
+        pick01 = u >= c00
+        pick10 = u >= c00 + c01
+        pick11 = u >= c00 + c01 + c10
+        ny = 2 * y + (pick10).astype(jnp.int32)
+        nx = 2 * x + (pick01 & ~pick10).astype(jnp.int32) \
+            + (pick11).astype(jnp.int32)
+        y = jnp.where(subdiv, ny, y)
+        x = jnp.where(subdiv, nx, x)
+        lvl = lvl + subdiv.astype(jnp.int32)
+        frozen = frozen | ~subdiv
+    scale = (1 << lvl).astype(jnp.float32)
+    j = jax.random.uniform(jax.random.fold_in(key, 99), (n, 2))
+    ct = ((y.astype(jnp.float32) + j[:, 0]) / scale) * 2.0 - 1.0
+    phi = ((x.astype(jnp.float32) + j[:, 1]) / scale) * 2.0 * jnp.pi
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction",
+                                   "bsdf_types", "rho"))
 def trace_wave_ppg(
     scene, hist, initialized, tables, aabb_lo, inv_norm, key, ro, rd,
     max_depth: int = 10, rr_depth: int = 10, bsdf_fraction: float = 0.5,
-    bsdf_types: tuple | None = None,
+    bsdf_types: tuple | None = None, rho: float = 0.01,
 ):
     """PPG-guided wave; returns (li [N,3], samples for training)."""
     n = ro.shape[0]
@@ -123,7 +209,7 @@ def trace_wave_ppg(
         u2 = jax.random.uniform(k_b2, (n, 2))
         u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n,))
         bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
-        d_guide = histogram_sample(hist_g, k_g)
+        d_guide = quadtree_sample(hist_g, k_g, rho)
         wo_world = jnp.where(
             take_bsdf[..., None], to_world(s_ax, t_ax, n_ax, bs["wo"]), d_guide
         )
@@ -133,7 +219,7 @@ def trace_wave_ppg(
         sampled_delta = take_bsdf & bs["delta"]
 
         f_eval, bsdf_pdf = bsdf_mod.eval_pdf_full(params, wi_local, wo_local, types=bsdf_types)
-        g_pdf = jnp.where(guide_ok, histogram_pdf(hist_g, wo_world), 0.0)
+        g_pdf = jnp.where(guide_ok, quadtree_pdf(hist_g, wo_world, rho), 0.0)
         mis_pdf = h * bsdf_pdf + (1.0 - h) * g_pdf
         w_smooth = f_eval / jnp.maximum(mis_pdf, 1e-20)[..., None]
         w_delta = bs["weight"] / jnp.maximum(h, 1e-6)[..., None]

@@ -14,6 +14,7 @@ from sdmm_tpu.guiding.ppg import (
     histogram_sample,
 )
 from sdmm_tpu.core.frame import normalize
+from sdmm_tpu.guiding import ppg
 
 from test_render import make_box_scene
 
@@ -84,3 +85,57 @@ def test_ppg_training_unbiased_and_improves():
     # first with a variance estimate (iters[0] is 1 spp → no estimate).
     assert mean_var(iters[-1]) < mean_var(iters[1]) * 0.5, (
         mean_var(iters[1]), mean_var(iters[-1]))
+
+
+def test_quadtree_pdf_rho0_equals_flat_histogram():
+    """rho=0 subdivides everything -> identical to the finest histogram."""
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.gamma(0.3, size=(64, ppg.RES * ppg.RES))
+                    .astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    p_flat = np.asarray(ppg.histogram_pdf(h, d))
+    p_qt = np.asarray(ppg.quadtree_pdf(h, d, rho=0.0))
+    np.testing.assert_allclose(p_qt, p_flat, rtol=2e-4)
+
+
+def test_quadtree_sample_matches_pdf():
+    """Chi-square: hierarchical descent sampling vs the adaptive pdf."""
+    from sdmm_tpu.utils.chisquare import chi2_test
+
+    rng = np.random.default_rng(1)
+    # Skewed histogram: a bright 2x2 block plus faint background, so the
+    # adaptive tree actually prunes (background collapses to coarse nodes).
+    row = rng.gamma(0.05, size=(ppg.RES, ppg.RES)).astype(np.float32) * 0.01
+    row[4:6, 8:10] += 5.0
+    n = 200_000
+    h = jnp.broadcast_to(jnp.asarray(row.reshape(-1)),
+                         (n, ppg.RES * ppg.RES))
+    d = ppg.quadtree_sample(h, jax.random.PRNGKey(2), rho=0.01)
+
+    h1 = jnp.asarray(row.reshape(1, -1))
+
+    def pdf_fn(dd):
+        dd = jnp.asarray(dd, dtype=jnp.float32)
+        hh = jnp.broadcast_to(h1, (dd.shape[0], ppg.RES * ppg.RES))
+        return np.asarray(ppg.quadtree_pdf(hh, dd, rho=0.01))
+
+    passed, p, st = chi2_test(np.asarray(d), pdf_fn)
+    assert passed, (p, st)
+
+
+def test_quadtree_prunes_coarse_regions():
+    """Low-flux regions report the coarse node's pooled pdf, not the
+    noisy finest-cell value."""
+    row = np.full((ppg.RES, ppg.RES), 1e-4, np.float32)
+    row[0, 0] = 100.0
+    h = jnp.asarray(row.reshape(1, -1))
+    # A direction deep in the dim region: its quadrant (flux ~64e-4 <<
+    # 1% of total) freezes at a coarse level -> pooled pdf.
+    d_dim = jnp.asarray([[0.0, 0.0, 0.99]])  # ct~1 -> y=RES-1 quadrant
+    p_qt = float(ppg.quadtree_pdf(h, d_dim, rho=0.01)[0])
+    p_flat = float(ppg.histogram_pdf(h, d_dim)[0])
+    assert p_qt > 0
+    # Same order as flat (uniform region), but computed from the pooled
+    # parent: identical here because the region is uniform.
+    np.testing.assert_allclose(p_qt, p_flat, rtol=1e-3)
