@@ -135,9 +135,11 @@ def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None,
         coat_eta = p["eta"]
         coat_sa = p["albedo"] * p["alpha"][..., None]  # sigmaA * thickness
         coat_spec = p["specular"]
+        coat_alpha = p["alpha_v"]  # GGX roughness of the boundary (0 = smooth)
         p = _where_params(is_coat, c, p)
         p["is_coat"] = is_coat
         p["coat_eta"] = jnp.where(is_coat, coat_eta, 1.5)
+        p["coat_alpha"] = jnp.where(is_coat, coat_alpha, 0.0)
         p["coat_sa"] = jnp.where(is_coat[..., None], coat_sa, 0.0)
         p["coat_spec"] = jnp.where(is_coat[..., None], coat_spec, 1.0)
     if has(BSDF_BLEND):
@@ -873,7 +875,7 @@ def _strip_container(params: dict) -> dict:
     return {k: v for k, v in params.items()
             if k not in ("is_mask", "opacity", "is_blend", "blend_b",
                          "blend_w", "is_coat", "coat_eta", "coat_sa",
-                         "coat_spec")}
+                         "coat_spec", "coat_alpha")}
 
 
 def _refract_in(w, eta):
@@ -954,8 +956,41 @@ def eval_pdf_full(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
         w_spec = _coat_spec_weight(params)
         prob_spec = _coat_prob_specular(r12, w_spec)
         pdf_c = pdf_n * jac * (1.0 - prob_spec)
+        # Rough layer boundary (reference: roughcoating.cpp eval/pdf):
+        # a GGX reflection lobe joins the solid-angle measure. The smooth
+        # layer's delta lobe contributes nothing here. Transmission
+        # scaling keeps the smooth-boundary Fresnel (the reference's
+        # precomputed roughTransmittance table -> this as alpha -> 0).
+        a_c = params.get("coat_alpha", jnp.zeros_like(params["coat_eta"]))
+        rough_c = a_c > 1e-4
+        cos_i_e = wi[..., 2]
+        cos_o_e = wo[..., 2]
+        refl_side = cos_i_e * cos_o_e > 0.0
+        h_r = wi + wo
+        h_r = h_r / jnp.maximum(
+            jnp.linalg.norm(h_r, axis=-1, keepdims=True), 1e-12
+        )
+        h_r = h_r * jnp.sign(cos_o_e)[..., None]
+        f_h, _, _, _ = fresnel_dielectric(
+            jnp.abs(jnp.sum(wi * h_r, axis=-1)), params["coat_eta"]
+        )
+        d_h = mf.ggx_ndf(h_r, a_c)
+        g_h = mf.smith_g1(wi, h_r, a_c) * mf.smith_g1(wo, h_r, a_c)
+        spec_val = f_h * d_h * g_h / jnp.maximum(
+            4.0 * jnp.abs(cos_i_e), 1e-12
+        )
+        pdf_spec = mf.vndf_pdf(wi, h_r, a_c) / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo * h_r, axis=-1)), 1e-12
+        )
+        add = rough_c & refl_side
         no_tir = (r12 < 1.0) & (r21 < 1.0)
         is_c = params["is_coat"]
+        # spec_val = F D G / (4 |cos_i|) already carries the folded
+        # |cos_o| (the reference's eval convention, roughconductor.cpp).
+        f_c = f_c + jnp.where(
+            add[..., None], params["coat_spec"] * spec_val[..., None], 0.0,
+        )
+        pdf_c = pdf_c + jnp.where(add, prob_spec * pdf_spec, 0.0)
         f = jnp.where((is_c & no_tir)[..., None], f_c,
                       jnp.where(is_c[..., None], 0.0, f))
         pdf = jnp.where(is_c & no_tir, pdf_c, jnp.where(is_c, 0.0, pdf))
@@ -1014,15 +1049,36 @@ def sample_full(params: dict, wi: jnp.ndarray, u0: jnp.ndarray,
         inv_eta2 = 1.0 / (eta_c * eta_c)
         jac = inv_eta2 * wo_out[..., 2] / jnp.maximum(bs_n["wo"][..., 2], 1e-6)
         pdf_nested = bs_n["pdf"] * jnp.abs(jac) * (1.0 - prob_spec)
-        wo_spec = reflect(wi)
-        w_sp = params["coat_spec"] * (
-            r12 / jnp.maximum(prob_spec, 1e-6))[..., None]
+        # Specular lobe: delta reflection for smooth layers; GGX VNDF
+        # reflection for rough boundaries (reference: roughcoating.cpp
+        # sample). VNDF identity: f cos / pdf_vndf = F G1(wo).
+        a_c = params.get("coat_alpha", jnp.zeros_like(params["coat_eta"]))
+        rough_c = a_c > 1e-4
+        m_c = mf.sample_vndf(wi, jnp.maximum(a_c, 1e-4), u2)
+        wo_rough = 2.0 * jnp.sum(wi * m_c, axis=-1, keepdims=True) * m_c - wi
+        f_m, _, _, _ = fresnel_dielectric(
+            jnp.abs(jnp.sum(wi * m_c, axis=-1)), eta_c
+        )
+        g1o = mf.smith_g1(wo_rough, m_c, a_c)
+        ok_rough = wo_rough[..., 2] * wi[..., 2] > 1e-7
+        w_rough = params["coat_spec"] * jnp.where(
+            ok_rough, f_m * g1o / jnp.maximum(prob_spec, 1e-6), 0.0
+        )[..., None]
+        pdf_rough = prob_spec * mf.vndf_pdf(wi, m_c, a_c) / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo_rough * m_c, axis=-1)), 1e-12
+        )
+        wo_spec = jnp.where(rough_c[..., None], wo_rough, reflect(wi))
+        w_sp = jnp.where(
+            rough_c[..., None], w_rough,
+            params["coat_spec"] * (r12 / jnp.maximum(prob_spec, 1e-6))[..., None],
+        )
+        pdf_sp = jnp.where(rough_c, pdf_rough, prob_spec)
         is_c = params["is_coat"]
         coat = {
             "wo": jnp.where(pick_spec[..., None], wo_spec, wo_out),
             "weight": jnp.where(pick_spec[..., None], w_sp, w_nested),
-            "pdf": jnp.where(pick_spec, prob_spec, pdf_nested),
-            "delta": pick_spec | bs_n["delta"],
+            "pdf": jnp.where(pick_spec, pdf_sp, pdf_nested),
+            "delta": (pick_spec & ~rough_c) | (~pick_spec & bs_n["delta"]),
             "eta": jnp.ones_like(r12),
             "pass": jnp.zeros_like(pick_spec),
         }

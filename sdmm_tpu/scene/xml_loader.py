@@ -388,10 +388,10 @@ class XMLLoader:
                 weight=float(p.get("weight", 0.5)),
             )
         if btype in ("coating", "roughcoating"):
-            # Dielectric layer over a child (reference: bsdfs/coating.cpp);
-            # roughcoating's GGX specular lobe is approximated by the
-            # smooth layer (GAPS.md). Parent row columns: eta = IOR ratio,
-            # alpha = thickness, albedo = sigmaA, specular = reflectance.
+            # Dielectric layer over a child (reference: bsdfs/coating.cpp,
+            # roughcoating.cpp). Parent row columns: eta = IOR ratio,
+            # alpha = thickness, albedo = sigmaA, specular = reflectance,
+            # alpha_v = GGX roughness of the layer boundary (0 = smooth).
             from .scene import BSDF_COATING
 
             children = [sub for sub in el if sub.tag == "bsdf"]
@@ -410,6 +410,8 @@ class XMLLoader:
                 BSDF_COATING, name=name, child0=c0,
                 eta=int_v / ext_v,
                 alpha=float(p.get("thickness", 1.0)),
+                alpha_v=(float(p.get("alpha", 0.1))
+                         if btype == "roughcoating" else 0.0),
                 albedo=sa,
                 specular=p.get("specularReflectance", np.ones(3)),
             )

@@ -382,3 +382,73 @@ def test_coating_energy_and_render():
 
         assert sum(1 for d in b.bsdfs if d["type"] == BSDF_COATING) == 2
         assert BSDF_COATING in cfg.bsdf_types
+
+
+def test_roughcoating_sample_pdf_consistency():
+    """Rough layer boundary (reference: bsdfs/roughcoating.cpp): the GGX
+    specular lobe joins the solid-angle measure, so ALL samples (none are
+    delta) must chi-square match eval_pdf_full."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+    from sdmm_tpu.utils.chisquare import chi2_test
+
+    n = 200_000
+    wi = np.asarray([0.4, -0.2, np.sqrt(1 - 0.2)])
+    wi = wi / np.linalg.norm(wi)
+    p = _coat_params(n, eta=1.5, sigma_a=(0.05, 0.05, 0.05))
+    p["coat_alpha"] = jnp.full((n,), 0.3)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(4), 3)
+    wi_b = jnp.tile(jnp.asarray(wi, jnp.float32), (n, 1))
+    bs = bsdf_mod.sample_full(
+        p, wi_b,
+        jax.random.uniform(k0, (n,)), jax.random.uniform(k1, (n,)),
+        jax.random.uniform(k2, (n, 2)),
+    )
+    delta = np.asarray(bs["delta"])
+    assert not delta.any(), "rough coating has no delta lobes"
+    acc = np.asarray(jnp.max(bs["weight"], -1)) > 0
+    dirs = np.asarray(bs["wo"])[acc]
+
+    p1 = _coat_params(1, eta=1.5, sigma_a=(0.05, 0.05, 0.05))
+    p1["coat_alpha"] = jnp.full((1,), 0.3)
+
+    def pdf_fn(d):
+        d = jnp.asarray(d, jnp.float32)
+        m = d.shape[0]
+        pb = {k: (jnp.broadcast_to(v, (m,) + v.shape[1:])
+                  if hasattr(v, "shape") else v) for k, v in p1.items()}
+        wim = jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (m, 3))
+        _, pdf = bsdf_mod.eval_pdf_full(pb, wim, d)
+        return np.asarray(pdf)
+
+    passed, pv, st = chi2_test(dirs, pdf_fn)
+    assert passed, (pv, st)
+
+
+def test_roughcoating_specular_lobe_near_mirror():
+    """High-gloss rough coating concentrates samples near the mirror
+    direction; smooth coating makes them exactly delta."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+
+    n = 50_000
+    wi = np.asarray([0.5, 0.0, np.sqrt(0.75)])
+    p = _coat_params(n, eta=1.5)
+    p["coat_alpha"] = jnp.full((n,), 0.05)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(1), 3)
+    wi_b = jnp.tile(jnp.asarray(wi, jnp.float32), (n, 1))
+    bs = bsdf_mod.sample_full(
+        p, wi_b, jax.random.uniform(k0, (n,)),
+        jax.random.uniform(k1, (n,)), jax.random.uniform(k2, (n, 2)),
+    )
+    wo = np.asarray(bs["wo"])
+    mirror = np.asarray([-wi[0], -wi[1], wi[2]])
+    close = (wo @ mirror) > 0.99
+    # The specular branch (~Fresnel-weighted) lands tight around mirror.
+    assert close.mean() > 0.02
