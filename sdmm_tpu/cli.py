@@ -75,7 +75,13 @@ def cmd_render(args):
             optimize_async=overrides.get("optimizeAsync", "false") == "true",
         )
         trainer = SDMMTrainer(scene, cfg, tc)
-        image, iters = trainer.run(total_spp=spp, verbose=args.verbose)
+        prev_iters = None
+        if getattr(args, "resume", None):
+            prev_iters = trainer.restore(args.resume)
+        image, iters = trainer.run(total_spp=spp, verbose=args.verbose,
+                                   iters=prev_iters)
+        if getattr(args, "checkpoint", None):
+            gio.save_full_checkpoint(args.checkpoint, trainer, iters)
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(trainer.stats, f, indent=2)
         ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -356,6 +362,10 @@ def main(argv=None):
                             "photonmapper", "ppm", "sppm",
                             "pssmlt", "mlt", "erpt", "bdpt",
                             "adaptive", "multichannel", "irrcache", "motion"])
+    r.add_argument("--resume", help="resume a training render from a "
+                   "full checkpoint (.npz; sdmm integrator)")
+    r.add_argument("--checkpoint", help="write a full resume checkpoint "
+                   "(.npz) at the end of the render")
     r.add_argument("--spp", type=int)
     r.add_argument("--samples-per-iteration", type=int, default=4)
     r.add_argument("--width", type=int)

@@ -268,10 +268,32 @@ class SDMMTrainer:
         self.initialized = self.initialized | active
         return int(jnp.sum(active))
 
-    def run(self, total_spp: int, verbose: bool = False, on_iteration=None):
-        """Full training render; returns combined image + per-iteration stats."""
+    def restore(self, path: str):
+        """Resume from a full checkpoint (guiding/io.save_full_checkpoint):
+        the per-iteration RNG keys derive from the iteration index, so the
+        continued run matches an uninterrupted one exactly. Returns the
+        restored per-iteration film list to pass to run(iters=...)."""
+        from . import io as gio
+
+        state, iters = gio.load_full_checkpoint(path)
+        self.tree = state["tree"]
+        self.tables = self.tree.device_tables()
+        self.sdmm = state["sdmm"]
+        self.em = state["em"]
+        self.prep = mix.prepare(self.sdmm)
+        self.initialized = state["initialized"]
+        self.cum_counts = state["cum_counts"]
+        self.iteration = state["iteration"]
+        self.total_spp = state["total_spp"]
+        self.stats = list(state["stats"])
+        return iters
+
+    def run(self, total_spp: int, verbose: bool = False, on_iteration=None,
+            iters=None):
+        """Full training render; returns combined image + per-iteration stats.
+        ``iters``: previously rendered per-iteration films (resume)."""
         c = self.cfg
-        iters = []
+        iters = list(iters) if iters else []
         pending = None  # async mode: (sdmm, em, prep, initialized) to adopt
         while self.total_spp < total_spp:
             t0 = time.time()
