@@ -90,3 +90,39 @@ def bvh_build_native(verts: np.ndarray, leaf_size: int = 4) -> dict | None:
         "miss": miss[:m].copy(),
         "perm": perm[: n_perm.value].copy(),
     }
+
+
+def obj_load_native(path: str):
+    """Parse an OBJ with the native loader. Returns (v [T,3,3], n [T,3,3],
+    uv [T,3,2]) float64 arrays, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        lib.obj_load.restype = ctypes.c_int
+        lib.obj_load.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:
+        return None
+    handle = ctypes.c_void_p()
+    n_tris = ctypes.c_int64()
+    rc = lib.obj_load(path.encode(), ctypes.byref(handle),
+                      ctypes.byref(n_tris))
+    if rc != 0:
+        return None
+    t = int(n_tris.value)
+    v = np.empty((t, 3, 3), np.float64)
+    n = np.empty((t, 3, 3), np.float64)
+    uv = np.empty((t, 3, 2), np.float64)
+    if t:
+        lib.obj_copy(
+            handle,
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            uv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    lib.obj_free(handle)
+    return v, n, uv

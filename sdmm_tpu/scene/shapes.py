@@ -10,6 +10,8 @@ sphere: unit radius at origin).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -355,10 +357,37 @@ def load_obj(
     path: str, to_world: np.ndarray | None = None, flip_normals: bool = False,
     face_normals: bool = False,
 ) -> TriSoup:
-    """Minimal OBJ loader (v/vn/f with polygon fan triangulation).
+    """OBJ loader (v/vn/vt/f with polygon fan triangulation).
 
-    Replacement for the reference's obj.cpp shape plugin.
+    Replacement for the reference's obj.cpp shape plugin. Parsing runs in
+    the native C++ loader (native/mesh_loader.cpp) when available — the
+    reference's mesh IO is native too — with this Python implementation
+    as the fallback and correctness oracle (they emit identical arrays;
+    see tests/test_native.py).
     """
+    from ..native import obj_load_native
+
+    nat = None if os.environ.get("SDMM_TPU_NO_NATIVE") else obj_load_native(path)
+    if nat is not None:
+        v_t, n_t, uv_t = nat
+        if face_normals and len(v_t):
+            e1 = v_t[:, 1] - v_t[:, 0]
+            e2 = v_t[:, 2] - v_t[:, 0]
+            fn = np.cross(e1, e2)
+            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+            n_t = np.repeat(fn[:, None, :], 3, axis=1)
+        if to_world is not None and len(v_t):
+            v_t = _transform_points(to_world, v_t.reshape(-1, 3)).reshape(-1, 3, 3)
+            n_t = _transform_normals(to_world, n_t.reshape(-1, 3)).reshape(-1, 3, 3)
+        if flip_normals and len(v_t):
+            v_t = v_t[:, ::-1]
+            n_t = -n_t[:, ::-1]
+            uv_t = uv_t[:, ::-1]
+        soup = TriSoup()
+        if len(v_t):
+            soup.add(v_t, n_t, uv_t)
+        return soup
+
     vs: list[list[float]] = []
     vns: list[list[float]] = []
     vts: list[list[float]] = []

@@ -71,3 +71,69 @@ def test_native_traversal_correct():
     np.testing.assert_allclose(
         np.asarray(hit["t"])[sel], np.asarray(bf_t)[sel], rtol=1e-4
     )
+
+
+def test_native_obj_loader_matches_python():
+    """native/mesh_loader.cpp must emit the same triangle soup as the
+    Python OBJ parser (fan triangulation, negative indices, mixed
+    vn/vt presence, transforms, flipNormals)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sdmm_tpu import native as nat
+    from sdmm_tpu.scene import shapes as shp
+
+    if not nat.have_native():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    obj = """# test mesh
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+v 0 0 1
+vn 0 0 1
+vn 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1/1 2/2/1 3/3/1 4/4/1
+f 1 2 5
+f -5/-4 -4/-3 -1/-1
+f 1//2 3//2 5//2
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write(obj)
+        path = f.name
+    try:
+        m = np.eye(4)
+        m[:3, :3] = np.diag([2.0, 1.0, 0.5])
+        m[:3, 3] = [1.0, -2.0, 0.3]
+        for to_world, flip, face_n in [
+            (None, False, False), (m, False, False),
+            (None, True, False), (m, True, True),
+        ]:
+            s_nat = shp.load_obj(path, to_world, flip, face_n)
+            os.environ["SDMM_TPU_NO_NATIVE"] = "1"
+            try:
+                s_py = shp.load_obj(path, to_world, flip, face_n)
+            finally:
+                del os.environ["SDMM_TPU_NO_NATIVE"]
+            v_a, n_a, uv_a = s_nat.concat()
+            v_b, n_b, uv_b = s_py.concat()
+            assert v_a.shape == v_b.shape, (v_a.shape, v_b.shape)
+            np.testing.assert_allclose(v_a, v_b, atol=1e-12)
+            # Normals compared as directions (normalization may differ).
+            na = n_a / np.maximum(
+                np.linalg.norm(n_a, axis=-1, keepdims=True), 1e-20)
+            nb = n_b / np.maximum(
+                np.linalg.norm(n_b, axis=-1, keepdims=True), 1e-20)
+            np.testing.assert_allclose(na, nb, atol=1e-9)
+            np.testing.assert_allclose(uv_a, uv_b, atol=1e-12)
+    finally:
+        os.unlink(path)
