@@ -60,6 +60,7 @@ def main():
                 scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
                 width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
                 rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
+                bsdf_types=tuple(cfg.bsdf_types),
             )
         return render_pool(
             scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,

@@ -6,21 +6,22 @@ a long tail of memory-space copies between fusions; a partial Pallas
 intersection kernel LOST end-to-end because it broke XLA's cross-op
 fusion (see ops/intersect_pallas.py docstring). The fix is to leave XLA
 nothing to fuse: this kernel runs the whole bounce — closest-hit sweep,
-emitter-hit MIS, next-event estimation with its occlusion sweep, diffuse
-BSDF sampling, Russian roulette, state update — in one pallas_call, so
-the only HBM traffic per bounce is lane state in and lane state out.
+emitter-hit MIS, next-event estimation with its occlusion sweep, BSDF
+sampling, Russian roulette, state update — in one pallas_call, so the
+only HBM traffic per bounce is lane state in and lane state out.
 
 Layout: lane state is [16, R, 128] (attribute-major; a lane tile is an
 [RT, 128] block using all 8 VPU sublanes), triangles are attribute-major
-[32, T] rows read as scalars inside a fully unrolled triangle loop
-(static indices — no gathers anywhere). Per-triangle work is ~56 vector
+[40, T] rows read as scalars inside a fully unrolled triangle loop
+(static indices — no gathers anywhere). Per-triangle work is ~60 vector
 ops on [RT, 128] tiles; nothing ray x triangle ever exists outside VMEM
 registers.
 
-Scope (host-gated in render/wavefront.py): diffuse-only scenes without
-textures/media/envmap-NEE and <= MAX_UNROLL_TRIS triangles — the
-reference's headline cornell-box benchmark path. Wider BSDF coverage
-falls back to the XLA pool.
+BSDF coverage (statically specialized on the scene's type set, like the
+wavefront pool's ``bsdf_types``): diffuse, smooth conductor, smooth
+dielectric, rough conductor (GGX VNDF). Host-gated in
+render/wavefront.py: untextured area-light scenes without media and
+<= MAX_UNROLL_TRIS triangles. Everything else falls back to the XLA pool.
 
 Semantics mirror render/wavefront.py's bounce body exactly (which in
 turn mirrors the reference integrator: mitsuba/src/integrators/path/
@@ -42,6 +43,13 @@ RAY_EPS = 1e-4  # volpath.RAY_EPS
 INV_PI = 0.3183098861837907
 PI = 3.141592653589793
 
+# BSDF type codes handled in-kernel (must match scene.py).
+T_DIFFUSE = 0
+T_CONDUCTOR = 1
+T_DIELECTRIC = 2
+T_ROUGHCONDUCTOR = 3
+SUPPORTED_TYPES = (T_DIFFUSE, T_CONDUCTOR, T_DIELECTRIC, T_ROUGHCONDUCTOR)
+
 # Meta bit layout — must match render/wavefront.py.
 _DEPTH_SHIFT = 20
 _ALIVE = 1 << 24
@@ -53,14 +61,19 @@ _DEPTH_MASK = 0xF
 RT = 64  # sublane rows per lane tile -> RT*128 = 8192 lanes/tile
 MAX_UNROLL_TRIS = 96
 
-# Triangle row indices in the [32, T] attribute-major table.
+# Triangle row indices in the [40, T] attribute-major table.
 _TV = 0  # 0-8: v0.xyz, e1.xyz, e2.xyz
 _TNG = 9  # 9-11: geometric normal
 _TNS = 12  # 12-20: vertex shading normals n0.xyz n1.xyz n2.xyz
 _TEM = 21  # 21-23: emitted radiance rgb
 _TPA = 24  # 24: NEE selection pdf / area (0 for non-emitters)
 _TAL = 25  # 25-27: diffuse albedo rgb
-TRI_ROWS = 32
+_TTY = 28  # bsdf type code (as f32)
+_TALP = 29  # GGX roughness
+_TETA = 30  # ior / conductor eta (scalar)
+_TK = 31  # 31-33: conductor absorption k rgb
+_TSP = 34  # 34-36: specular reflectance rgb
+TRI_ROWS = 40
 
 # Emitter row indices in the [18, E] table.
 _ECDF = 0
@@ -69,6 +82,9 @@ _ENG = 10  # 10-12
 _ERAD = 13  # 13-15
 _EPA = 16  # selection pdf / area
 EM_ROWS = 18
+
+# rand rows: nee_u1, nee_u2a, nee_u2b, lobe_u1, b2a, b2b, rr, spare.
+RAND_ROWS = 8
 
 
 def _dot3(ax, ay, az, bx, by, bz):
@@ -139,7 +155,106 @@ def _disk_concentric(u0, u1):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
+def _fresnel_dielectric(cos_i, eta):
+    """Mirrors bsdf/fresnel.fresnel_dielectric (scalar eta per lane)."""
+    outside = cos_i >= 0.0
+    rcp = 1.0 / eta
+    eta_it = jnp.where(outside, eta, rcp)
+    eta_ti = jnp.where(outside, rcp, eta)
+    cos_t2 = 1.0 - eta_ti * eta_ti * (1.0 - cos_i * cos_i)
+    aci = jnp.abs(cos_i)
+    cos_t = jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+    rs = (aci - eta_it * cos_t) / jnp.maximum(aci + eta_it * cos_t, 1e-12)
+    rp = (eta_it * aci - cos_t) / jnp.maximum(eta_it * aci + cos_t, 1e-12)
+    f = 0.5 * (rs * rs + rp * rp)
+    f = jnp.where(cos_t2 <= 0.0, 1.0, f)
+    cos_t = jnp.where(cos_t2 <= 0.0, 0.0, -jnp.sign(cos_i) * cos_t)
+    return f, cos_t, eta_it, eta_ti
+
+
+def _fresnel_conductor_1(cos_i, eta, k):
+    """One channel of bsdf/fresnel.fresnel_conductor."""
+    c2 = cos_i * cos_i
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * jnp.abs(cos_i)
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-12)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
+def _ggx_d(mz, alpha):
+    cos_t = jnp.maximum(mz, 0.0)
+    a2 = alpha * alpha
+    den = cos_t * cos_t * (a2 - 1.0) + 1.0
+    return jnp.where(cos_t > 0.0, a2 / jnp.maximum(PI * den * den, 1e-20), 0.0)
+
+
+def _smith_g1(vx, vy, vz, mx, my, mz, alpha):
+    chi = _dot3(vx, vy, vz, mx, my, mz) * vz > 0.0
+    cos2 = vz * vz
+    tan2 = jnp.maximum(1.0 - cos2, 0.0) / jnp.maximum(cos2, 1e-12)
+    lam = 0.5 * (jnp.sqrt(1.0 + alpha * alpha * tan2) - 1.0)
+    return jnp.where(chi, 1.0 / (1.0 + lam), 0.0)
+
+
+def _sample_vndf(wix, wiy, wiz, alpha, u0, u1):
+    """Heitz VNDF sampling, scalarized (mirrors bsdf/microfacet.py)."""
+    vx = alpha * wix
+    vy = alpha * wiy
+    vz = wiz
+    inv = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-20))
+    vx, vy, vz = vx * inv, vy * inv, vz * inv
+    lensq = vx * vx + vy * vy
+    inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
+    big = lensq > 1e-12
+    t1x = jnp.where(big, -vy * inv_len, 1.0)
+    t1y = jnp.where(big, vx * inv_len, 0.0)
+    t1z = jnp.zeros_like(vx)
+    # t2 = v x t1
+    t2x = vy * t1z - vz * t1y
+    t2y = vz * t1x - vx * t1z
+    t2z = vx * t1y - vy * t1x
+    r = jnp.sqrt(jnp.maximum(u0, 0.0))
+    phi = 2.0 * PI * u1
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vz)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nx = p1 * t1x + p2 * t2x + p3 * vx
+    ny = p1 * t1y + p2 * t2y + p3 * vy
+    nz = p1 * t1z + p2 * t2z + p3 * vz
+    mx = alpha * nx
+    my = alpha * ny
+    mz = jnp.maximum(nz, 0.0)
+    inv_m = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-20))
+    return mx * inv_m, my * inv_m, mz * inv_m
+
+
+def _vndf_pdf(wix, wiy, wiz, mx, my, mz, alpha):
+    g1 = _smith_g1(wix, wiy, wiz, mx, my, mz, alpha)
+    d = _ggx_d(mz, alpha)
+    return g1 * jnp.abs(_dot3(wix, wiy, wiz, mx, my, mz)) * d / jnp.maximum(
+        jnp.abs(wiz), 1e-12
+    )
+
+
+def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
+                   types: tuple):
+    multi = any(t != T_DIFFUSE for t in types)
+    has_cond = T_CONDUCTOR in types
+    has_diel = T_DIELECTRIC in types
+    has_rc = T_ROUGHCONDUCTOR in types
+    has_diff = T_DIFFUSE in types
+
     def kernel(state_ref, meta_ref, rand_ref, tri_ref, em_ref, env_ref,
                nstate_ref, nmeta_ref, splat_ref):
         tri = tri_ref  # scalar static reads only
@@ -161,19 +276,18 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
 
         # ---- Closest-hit sweep with inline winner-attribute selection ----
         best_t = jnp.full_like(rox, INF)
-        b_ngx = jnp.zeros_like(rox)
-        b_ngy = jnp.zeros_like(rox)
-        b_ngz = jnp.ones_like(rox)
-        b_nsx = jnp.zeros_like(rox)
-        b_nsy = jnp.zeros_like(rox)
-        b_nsz = jnp.ones_like(rox)
-        b_emr = jnp.zeros_like(rox)
-        b_emg = jnp.zeros_like(rox)
-        b_emb = jnp.zeros_like(rox)
-        b_pa = jnp.zeros_like(rox)
-        b_alr = jnp.zeros_like(rox)
-        b_alg = jnp.zeros_like(rox)
-        b_alb = jnp.zeros_like(rox)
+        zeros = jnp.zeros_like(rox)
+        ones = jnp.ones_like(rox)
+        b_ngx, b_ngy, b_ngz = zeros, zeros, ones
+        b_nsx, b_nsy, b_nsz = zeros, zeros, ones
+        b_emr, b_emg, b_emb = zeros, zeros, zeros
+        b_pa = zeros
+        b_alr, b_alg, b_alb = zeros, zeros, zeros
+        b_ty = zeros
+        b_alp = zeros
+        b_eta = ones
+        b_kr, b_kg, b_kb = zeros, zeros, zeros
+        b_sr, b_sg, b_sb = ones, ones, ones
         for j in range(n_tris):
             t, u, v, okg = _mt_tri(rox, roy, roz, rdx, rdy, rdz, tri, j)
             better = okg & (t > EPS) & (t < best_t)
@@ -204,6 +318,24 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
             b_alr = jnp.where(better, tri[_TAL + 0, j], b_alr)
             b_alg = jnp.where(better, tri[_TAL + 1, j], b_alg)
             b_alb = jnp.where(better, tri[_TAL + 2, j], b_alb)
+            if multi:
+                b_ty = jnp.where(better, tri[_TTY, j], b_ty)
+            if has_rc:
+                b_alp = jnp.where(better, tri[_TALP, j], b_alp)
+            if has_cond or has_diel or has_rc:
+                b_eta = jnp.where(better, tri[_TETA, j], b_eta)
+            if has_cond or has_rc:
+                b_kr = jnp.where(better, tri[_TK + 0, j], b_kr)
+                b_kg = jnp.where(better, tri[_TK + 1, j], b_kg)
+                b_kb = jnp.where(better, tri[_TK + 2, j], b_kb)
+                b_sr = jnp.where(better, tri[_TSP + 0, j], b_sr)
+                b_sg = jnp.where(better, tri[_TSP + 1, j], b_sg)
+                b_sb = jnp.where(better, tri[_TSP + 2, j], b_sb)
+            if has_diel:
+                if not (has_cond or has_rc):
+                    b_sr = jnp.where(better, tri[_TSP + 0, j], b_sr)
+                    b_sg = jnp.where(better, tri[_TSP + 1, j], b_sg)
+                    b_sb = jnp.where(better, tri[_TSP + 2, j], b_sb)
 
         hit_valid = best_t < INF
         t_safe = jnp.where(hit_valid, best_t, 0.0)
@@ -216,6 +348,11 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
         b_nsx = b_nsx * inv_ns
         b_nsy = b_nsy * inv_ns
         b_nsz = b_nsz * inv_ns
+
+        is_diff = (b_ty == T_DIFFUSE) if multi else jnp.ones_like(alive)
+        is_cond = (b_ty == T_CONDUCTOR) if has_cond else None
+        is_diel = (b_ty == T_DIELECTRIC) if has_diel else None
+        is_rc = (b_ty == T_ROUGHCONDUCTOR) if has_rc else None
 
         # ---- Emitter hit (MIS vs the previous bounce's BSDF pdf) ----
         cos_l_hit = -_dot3(b_ngx, b_ngy, b_ngz, rdx, rdy, rdz)
@@ -240,32 +377,38 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
 
         on_surface = alive & hit_valid
 
-        # ---- Shading frame (implicit twosided for diffuse) ----
+        # ---- Shading frame (flip for non-transmissive; volpath rule) ----
         cos_i_ns = -_dot3(b_nsx, b_nsy, b_nsz, rdx, rdy, rdz)
-        flip = jnp.where(cos_i_ns < 0.0, -1.0, 1.0)
+        if has_diel:
+            transmissive = is_diel
+            flip = jnp.where((cos_i_ns < 0.0) & ~transmissive, -1.0, 1.0)
+        else:
+            flip = jnp.where(cos_i_ns < 0.0, -1.0, 1.0)
         nx = b_nsx * flip
         ny = b_nsy * flip
         nz = b_nsz * flip
         sx, sy, sz, tx_, ty_, tz_ = _coordinate_system(nx, ny, nz)
         wi_z = -_dot3(nx, ny, nz, rdx, rdy, rdz)
+        wi_x = -_dot3(sx, sy, sz, rdx, rdy, rdz)
+        wi_y = -_dot3(tx_, ty_, tz_, rdx, rdy, rdz)
         wi_dot_geo = -_dot3(b_ngx, b_ngy, b_ngz, rdx, rdy, rdz)
         on_surface = on_surface & ~(wi_dot_geo * wi_z < 0.0)
+
+        # Lane smoothness: NEE targets only non-delta lobes.
+        smooth = is_diff
+        if has_rc:
+            smooth = smooth | is_rc
 
         # ---- NEE: sample one emissive triangle by CDF ----
         u1 = rand_ref[0]
         su0 = jnp.sqrt(rand_ref[1])
         bb0 = 1.0 - su0
         bb1 = rand_ref[2] * su0
-        e_yx = jnp.zeros_like(rox)
-        e_yy = jnp.zeros_like(rox)
-        e_yz = jnp.zeros_like(rox)
-        e_nx = jnp.zeros_like(rox)
-        e_ny = jnp.zeros_like(rox)
-        e_nz = jnp.ones_like(rox)
-        e_rr = jnp.zeros_like(rox)
-        e_rg = jnp.zeros_like(rox)
-        e_rb = jnp.zeros_like(rox)
-        e_pa = jnp.zeros_like(rox)
+        e_yx, e_yy, e_yz = zeros, zeros, zeros
+        e_nx, e_ny = zeros, zeros
+        e_nz = ones
+        e_rr, e_rg, e_rb = zeros, zeros, zeros
+        e_pa = zeros
         picked = jnp.zeros_like(alive)
         for e in range(n_em):
             pick = ~picked & ((em[_ECDF, e] >= u1) | (e == n_em - 1))
@@ -298,10 +441,50 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
         nee_valid = (cos_l > 1e-6) & (dist2 > 1e-12)
         pdf_sa = jnp.where(nee_valid, pdf_sa, 0.0)
 
+        # f(wi, wo_nee) and its pdf for the smooth lobes.
         wo_l_z = _dot3(nx, ny, nz, ldx, ldy, ldz)
         cos_o = jnp.maximum(wo_l_z, 0.0)
-        pdf_b_nee = cos_o * INV_PI
-        cand = on_surface & nee_valid & (pdf_sa > 0.0)
+        f_nee_r = jnp.where(is_diff, b_alr * (INV_PI * cos_o), 0.0) \
+            if multi else b_alr * (INV_PI * cos_o)
+        f_nee_g = jnp.where(is_diff, b_alg * (INV_PI * cos_o), 0.0) \
+            if multi else b_alg * (INV_PI * cos_o)
+        f_nee_b = jnp.where(is_diff, b_alb * (INV_PI * cos_o), 0.0) \
+            if multi else b_alb * (INV_PI * cos_o)
+        pdf_b_nee = jnp.where(is_diff, cos_o * INV_PI, 0.0) \
+            if multi else cos_o * INV_PI
+        if has_rc:
+            # GGX reflection eval (mirrors bsdf.py roughconductor branch).
+            wo_l_x = _dot3(sx, sy, sz, ldx, ldy, ldz)
+            wo_l_y = _dot3(tx_, ty_, tz_, ldx, ldy, ldz)
+            hx = wi_x + wo_l_x
+            hy = wi_y + wo_l_y
+            hz = wi_z + wo_l_z
+            inv_h = jax.lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
+                                              1e-20))
+            hx, hy, hz = hx * inv_h, hy * inv_h, hz * inv_h
+            widoth = _dot3(wi_x, wi_y, wi_z, hx, hy, hz)
+            d_h = _ggx_d(hz, b_alp)
+            g_h = (_smith_g1(wi_x, wi_y, wi_z, hx, hy, hz, b_alp)
+                   * _smith_g1(wo_l_x, wo_l_y, wo_l_z, hx, hy, hz, b_alp))
+            both = (wi_z > 1e-6) & (wo_l_z > 1e-6)
+            spec = jnp.where(both, d_h * g_h / jnp.maximum(4.0 * wi_z, 1e-12),
+                             0.0)
+            f_rc_r = b_sr * _fresnel_conductor_1(widoth, b_eta, b_kr) * spec
+            f_rc_g = b_sg * _fresnel_conductor_1(widoth, b_eta, b_kg) * spec
+            f_rc_b = b_sb * _fresnel_conductor_1(widoth, b_eta, b_kb) * spec
+            pdf_rc_nee = jnp.where(
+                both,
+                _vndf_pdf(wi_x, wi_y, wi_z, hx, hy, hz, b_alp)
+                / jnp.maximum(4.0 * jnp.abs(
+                    _dot3(wo_l_x, wo_l_y, wo_l_z, hx, hy, hz)), 1e-12),
+                0.0,
+            )
+            f_nee_r = jnp.where(is_rc, f_rc_r, f_nee_r)
+            f_nee_g = jnp.where(is_rc, f_rc_g, f_nee_g)
+            f_nee_b = jnp.where(is_rc, f_rc_b, f_nee_b)
+            pdf_b_nee = jnp.where(is_rc, pdf_rc_nee, pdf_b_nee)
+
+        cand = on_surface & smooth & nee_valid & (pdf_sa > 0.0)
 
         off = jnp.where(
             _dot3(b_ngx, b_ngy, b_ngz, ldx, ldy, ldz) > 0, RAY_EPS, -RAY_EPS
@@ -317,40 +500,107 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
 
         w_nee = _mi_weight(pdf_sa, pdf_b_nee)
         scale = jnp.where(
-            cand & ~occ,
-            INV_PI * cos_o * w_nee / jnp.maximum(pdf_sa, 1e-20),
-            0.0,
+            cand & ~occ, w_nee / jnp.maximum(pdf_sa, 1e-20), 0.0
         )
-        li_r = li_r + thr_r * b_alr * e_rr * scale
-        li_g = li_g + thr_g * b_alg * e_rg * scale
-        li_b = li_b + thr_b * b_alb * e_rb * scale
+        li_r = li_r + thr_r * f_nee_r * e_rr * scale
+        li_g = li_g + thr_g * f_nee_g * e_rg * scale
+        li_b = li_b + thr_b * f_nee_b * e_rb * scale
 
-        # ---- Diffuse BSDF sample (cosine hemisphere) ----
-        dx, dy = _disk_concentric(rand_ref[3], rand_ref[4])
-        dz = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
-        pdf_s = dz * INV_PI
-        wox = sx * dx + tx_ * dy + nx * dz
-        woy = sy * dx + ty_ * dy + ny * dz
-        woz = sz * dx + tz_ * dy + nz * dz
+        # ---- BSDF sample (type-dispatched, statically specialized) ----
+        # Diffuse: cosine hemisphere.
+        dxc, dyc = _disk_concentric(rand_ref[4], rand_ref[5])
+        dzc = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxc * dxc - dyc * dyc))
+        wo_x, wo_y, wo_z = dxc, dyc, dzc
+        pdf_s = dzc * INV_PI
+        w_r, w_g, w_b = b_alr, b_alg, b_alb
+        good = (b_alr > 0.0) | (b_alg > 0.0) | (b_alb > 0.0)
+        sampled_delta = jnp.zeros_like(alive)
+        eta_factor = ones
+
+        if has_cond:
+            f_cr = _fresnel_conductor_1(wi_z, b_eta, b_kr)
+            f_cg = _fresnel_conductor_1(wi_z, b_eta, b_kg)
+            f_cb = _fresnel_conductor_1(wi_z, b_eta, b_kb)
+            wo_x = jnp.where(is_cond, -wi_x, wo_x)
+            wo_y = jnp.where(is_cond, -wi_y, wo_y)
+            wo_z = jnp.where(is_cond, wi_z, wo_z)
+            w_r = jnp.where(is_cond, b_sr * f_cr, w_r)
+            w_g = jnp.where(is_cond, b_sg * f_cg, w_g)
+            w_b = jnp.where(is_cond, b_sb * f_cb, w_b)
+            pdf_s = jnp.where(is_cond, 1.0, pdf_s)
+            good = jnp.where(is_cond, (f_cr > 0) | (f_cg > 0) | (f_cb > 0),
+                             good)
+            sampled_delta = sampled_delta | is_cond
+
+        if has_diel:
+            fr, cos_t, eta_it, eta_ti = _fresnel_dielectric(wi_z, b_eta)
+            refl = rand_ref[3] < fr
+            # reflect: (-x, -y, z); refract: (-x*eta_ti, -y*eta_ti, cos_t).
+            wo_dx = jnp.where(refl, -wi_x, -wi_x * eta_ti)
+            wo_dy = jnp.where(refl, -wi_y, -wi_y * eta_ti)
+            wo_dz = jnp.where(refl, wi_z, cos_t)
+            # Radiance transport: transmitted scaled by eta_ti^2
+            # (albedo column = specularTransmittance for dielectrics).
+            w_dr = jnp.where(refl, b_sr, b_alr * eta_ti * eta_ti)
+            w_dg = jnp.where(refl, b_sg, b_alg * eta_ti * eta_ti)
+            w_db = jnp.where(refl, b_sb, b_alb * eta_ti * eta_ti)
+            wo_x = jnp.where(is_diel, wo_dx, wo_x)
+            wo_y = jnp.where(is_diel, wo_dy, wo_y)
+            wo_z = jnp.where(is_diel, wo_dz, wo_z)
+            w_r = jnp.where(is_diel, w_dr, w_r)
+            w_g = jnp.where(is_diel, w_dg, w_g)
+            w_b = jnp.where(is_diel, w_db, w_b)
+            pdf_s = jnp.where(is_diel, jnp.where(refl, fr, 1.0 - fr), pdf_s)
+            good = jnp.where(is_diel, (w_dr > 0) | (w_dg > 0) | (w_db > 0),
+                             good)
+            sampled_delta = sampled_delta | is_diel
+            eta_factor = jnp.where(is_diel & ~refl, eta_it, eta_factor)
+
+        if has_rc:
+            mx, my, mz = _sample_vndf(wi_x, wi_y, wi_z, b_alp,
+                                      rand_ref[4], rand_ref[5])
+            widm = _dot3(wi_x, wi_y, wi_z, mx, my, mz)
+            wo_rx = 2.0 * widm * mx - wi_x
+            wo_ry = 2.0 * widm * my - wi_y
+            wo_rz = 2.0 * widm * mz - wi_z
+            g1o = _smith_g1(wo_rx, wo_ry, wo_rz, mx, my, mz, b_alp)
+            w_rr_ = b_sr * _fresnel_conductor_1(widm, b_eta, b_kr) * g1o
+            w_rg_ = b_sg * _fresnel_conductor_1(widm, b_eta, b_kg) * g1o
+            w_rb_ = b_sb * _fresnel_conductor_1(widm, b_eta, b_kb) * g1o
+            pdf_r = _vndf_pdf(wi_x, wi_y, wi_z, mx, my, mz, b_alp) \
+                / jnp.maximum(4.0 * jnp.abs(
+                    _dot3(wo_rx, wo_ry, wo_rz, mx, my, mz)), 1e-12)
+            ok_r = wo_rz > 1e-6
+            wo_x = jnp.where(is_rc, wo_rx, wo_x)
+            wo_y = jnp.where(is_rc, wo_ry, wo_y)
+            wo_z = jnp.where(is_rc, wo_rz, wo_z)
+            w_r = jnp.where(is_rc, jnp.where(ok_r, w_rr_, 0.0), w_r)
+            w_g = jnp.where(is_rc, jnp.where(ok_r, w_rg_, 0.0), w_g)
+            w_b = jnp.where(is_rc, jnp.where(ok_r, w_rb_, 0.0), w_b)
+            pdf_s = jnp.where(is_rc, jnp.where(ok_r, pdf_r, 0.0), pdf_s)
+            good = jnp.where(is_rc, ok_r & ((w_rr_ > 0) | (w_rg_ > 0)
+                                            | (w_rb_ > 0)), good)
+
+        # Local -> world.
+        wox = sx * wo_x + tx_ * wo_y + nx * wo_z
+        woy = sy * wo_x + ty_ * wo_y + ny * wo_z
+        woz = sz * wo_x + tz_ * wo_y + nz * wo_z
         wo_dot_geo = _dot3(b_ngx, b_ngy, b_ngz, wox, woy, woz)
-        good = (
-            ((b_alr > 0.0) | (b_alg > 0.0) | (b_alb > 0.0))
-            & ~(wo_dot_geo * dz <= 0.0)
-        )
+        good = good & ~(wo_dot_geo * wo_z <= 0.0)
 
         depth = depth0 + 1
         survive = on_surface & good & (depth < max_depth)
-        sf = jnp.where(survive, 1.0, 0.0)
-        thr_nr = thr_r * jnp.where(survive, b_alr, 1.0)
-        thr_ng = thr_g * jnp.where(survive, b_alg, 1.0)
-        thr_nb = thr_b * jnp.where(survive, b_alb, 1.0)
+        thr_nr = thr_r * jnp.where(survive, w_r, 1.0)
+        thr_ng = thr_g * jnp.where(survive, w_g, 1.0)
+        thr_nb = thr_b * jnp.where(survive, w_b, 1.0)
+        eta2_n = eta2 * jnp.where(survive, eta_factor * eta_factor, 1.0)
 
         # Russian roulette (reference: sdmm_proc.cpp:858).
         q = jnp.minimum(
-            jnp.maximum(jnp.maximum(thr_nr, thr_ng), thr_nb) * eta2, 0.95
+            jnp.maximum(jnp.maximum(thr_nr, thr_ng), thr_nb) * eta2_n, 0.95
         )
         do_rr = (depth + 1) >= rr_depth
-        u_rr = rand_ref[5]
+        u_rr = rand_ref[6]
         survive = survive & ~(do_rr & (u_rr >= q))
         rr_boost = jnp.where(
             do_rr & survive, 1.0 / jnp.maximum(q, 1e-6), 1.0
@@ -388,7 +638,7 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
         nstate_ref[9] = li_r
         nstate_ref[10] = li_g
         nstate_ref[11] = li_b
-        nstate_ref[12] = eta2
+        nstate_ref[12] = eta2_n
         nstate_ref[13] = pdf_s
         nstate_ref[14] = jnp.zeros_like(rox)
         nstate_ref[15] = jnp.zeros_like(rox)
@@ -398,36 +648,39 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int):
             pix
             | (depth_packed << _DEPTH_SHIFT)
             | jnp.where(survive, _ALIVE, 0)
+            | jnp.where(sampled_delta, _PDELTA, 0)
             | exh
         )
 
+    del has_diff
     return kernel
 
 
 @partial(jax.jit, static_argnames=(
-    "n_tris", "n_em", "max_depth", "rr_depth", "interpret",
+    "n_tris", "n_em", "max_depth", "rr_depth", "types", "interpret",
 ))
-def diffuse_bounce(state, meta, rand, tri_rows, em_rows, env_row,
-                   n_tris: int, n_em: int, max_depth: int, rr_depth: int,
-                   interpret: bool = False):
+def bounce(state, meta, rand, tri_rows, em_rows, env_row,
+           n_tris: int, n_em: int, max_depth: int, rr_depth: int,
+           types: tuple = (T_DIFFUSE,), interpret: bool = False):
     """One bounce for all lanes.
 
-    state [16, R, 128] f32, meta [R, 128] i32, rand [6, R, 128] f32,
-    tri_rows [32, T] f32, em_rows [18, E] f32, env_row [1, 128] f32.
+    state [16, R, 128] f32, meta [R, 128] i32, rand [8, R, 128] f32,
+    tri_rows [40, T] f32, em_rows [18, E] f32, env_row [1, 128] f32.
     R must be a multiple of RT. Returns (new_state, new_meta, splat[8,R,128]).
     """
     r = state.shape[1]
     assert r % RT == 0, (r, RT)
     assert n_tris <= MAX_UNROLL_TRIS
+    assert all(t in SUPPORTED_TYPES for t in types), types
     grid = (r // RT,)
     return pl.pallas_call(
-        _bounce_kernel(n_tris, n_em, max_depth, rr_depth),
+        _bounce_kernel(n_tris, n_em, max_depth, rr_depth, tuple(types)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((16, RT, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, RT, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((RAND_ROWS, RT, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -449,10 +702,19 @@ def diffuse_bounce(state, meta, rand, tri_rows, em_rows, env_row,
     )(state, meta, rand, tri_rows, em_rows, env_row)
 
 
+# Backward-compatible alias (diffuse-only call sites).
+def diffuse_bounce(state, meta, rand, tri_rows, em_rows, env_row,
+                   n_tris: int, n_em: int, max_depth: int, rr_depth: int,
+                   interpret: bool = False):
+    return bounce(state, meta, rand, tri_rows, em_rows, env_row,
+                  n_tris=n_tris, n_em=n_em, max_depth=max_depth,
+                  rr_depth=rr_depth, types=(T_DIFFUSE,), interpret=interpret)
+
+
 def build_tables(scene):
     """Host/trace-time packing of the scene into kernel tables.
 
-    Returns (tri_rows [32, T], em_rows [18, E], env_row [1, 128]).
+    Returns (tri_rows [40, T], em_rows [18, E], env_row [1, 128]).
     """
     t = scene.tri_v0.shape[0]
     tri = jnp.zeros((TRI_ROWS, t))
@@ -472,8 +734,13 @@ def build_tables(scene):
     from ..scene import emitters as em_mod
 
     tri = tri.at[_TPA].set(em_mod.tri_pdf_over_area(scene))
-    albedo = scene.bsdf_albedo[scene.tri_bsdf]
-    tri = tri.at[_TAL:_TAL + 3].set(albedo.T)
+    bid = scene.tri_bsdf
+    tri = tri.at[_TAL:_TAL + 3].set(scene.bsdf_albedo[bid].T)
+    tri = tri.at[_TTY].set(scene.bsdf_type[bid].astype(jnp.float32))
+    tri = tri.at[_TALP].set(scene.bsdf_alpha[bid])
+    tri = tri.at[_TETA].set(scene.bsdf_eta[bid])
+    tri = tri.at[_TK:_TK + 3].set(scene.bsdf_k[bid].T)
+    tri = tri.at[_TSP:_TSP + 3].set(scene.bsdf_specular[bid].T)
 
     m = scene.em_tri_idx.shape[0]
     if m:

@@ -288,13 +288,14 @@ def render_pool(
 
 def fused_supported(scene, cfg, nee: bool = True) -> bool:
     """Host-side gate for the Pallas bounce megakernel (ops/bounce_pallas):
-    diffuse-only, untextured, area-lights-only scenes small enough for the
-    unrolled in-VMEM triangle sweep."""
+    untextured area-light scenes using only in-kernel BSDF models and
+    small enough for the unrolled in-VMEM triangle sweep."""
     from ..ops import bounce_pallas as bp
 
     return bool(
         nee
-        and cfg.bsdf_types == (0,)
+        and len(cfg.bsdf_types) > 0
+        and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)
         and not cfg.has_bump
         and not cfg.has_medium
         and scene.tri_v0.shape[0] <= bp.MAX_UNROLL_TRIS
@@ -308,7 +309,7 @@ def fused_supported(scene, cfg, nee: bool = True) -> bool:
 
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
-    "fov_axis", "interpret",
+    "fov_axis", "bsdf_types", "interpret",
 ))
 def render_pool_fused(
     scene,
@@ -320,6 +321,7 @@ def render_pool_fused(
     max_depth: int = 10,
     rr_depth: int = 10,
     fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
     interpret: bool = False,
 ):
     """render_pool with the whole bounce in one Pallas megakernel.
@@ -385,15 +387,15 @@ def render_pool_fused(
         )
 
         # --- One bounce: the megakernel ---
-        rand = jax.random.uniform(k_bounce, (6, r_rows, 128))
-        nstate, nmeta, splat = bp.diffuse_bounce(
+        rand = jax.random.uniform(k_bounce, (bp.RAND_ROWS, r_rows, 128))
+        nstate, nmeta, splat = bp.bounce(
             st.reshape(16, r_rows, 128),
             meta.reshape(r_rows, 128),
             rand,
             tri_rows, em_rows, env_row,
             n_tris=n_tris, n_em=n_em,
             max_depth=max_depth, rr_depth=rr_depth,
-            interpret=interpret,
+            types=bsdf_types, interpret=interpret,
         )
         c["state"] = nstate.reshape(16, n_lanes)
         c["meta"] = nmeta.reshape(n_lanes)
@@ -445,7 +447,7 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
             scene, jax.random.PRNGKey(seed), n_lanes=lanes, spp=spp,
             width=cfg.width, height=cfg.height,
             max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            fov_axis=cfg.fov_axis,
+            fov_axis=cfg.fov_axis, bsdf_types=tuple(cfg.bsdf_types),
         )
     else:
         out = render_pool(
