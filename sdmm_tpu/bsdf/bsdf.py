@@ -27,6 +27,7 @@ from ..scene.scene import (
     BSDF_DIELECTRIC,
     BSDF_DIFFTRANS,
     BSDF_HK,
+    BSDF_IRAWAN,
     BSDF_DIFFUSE,
     BSDF_MASK,
     BSDF_NULL,
@@ -93,6 +94,9 @@ def _where_params(mask, a: dict, b: dict) -> dict:
             out[k] = b[k]
             continue
         av, bv = a[k], b[k]
+        if not hasattr(bv, "ndim"):  # non-array payloads (e.g. weave tables)
+            out[k] = bv
+            continue
         out[k] = jnp.where(mask[..., None] if bv.ndim > mask.ndim else mask, av, bv)
     return out
 
@@ -152,6 +156,16 @@ def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None,
         p["is_blend"] = is_blend
         p["blend_b"] = pb
         p["blend_w"] = jnp.where(is_blend, scene.bsdf_weight[bsdf_idx], 0.0)
+    if has(BSDF_IRAWAN):
+        # Woven cloth needs the raw hit UV and the scene's weave tables
+        # (reference: bsdfs/irawan.cpp eval uses its.uv).
+        p["iw"] = {
+            "pattern": scene.iw_pattern, "yarns": scene.iw_yarns,
+            "kd": scene.iw_kd, "ks": scene.iw_ks, "consts": scene.iw_consts,
+        }
+        p["uv"] = uv if uv is not None else jnp.zeros(
+            bsdf_idx.shape + (2,)
+        )
     return p
 
 
@@ -370,9 +384,18 @@ def eval_pdf(params: dict, wi: jnp.ndarray, wo: jnp.ndarray,
     need_cosine = (
         has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_ROUGHPLASTIC)
         or has(BSDF_PLASTIC) or has(BSDF_WARD) or has(BSDF_ROUGHDIFFUSE)
+        or has(BSDF_IRAWAN)
     )
     if need_cosine:
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+
+    if has(BSDF_IRAWAN) and "iw" in params:
+        # Woven cloth (reference: bsdfs/irawan.cpp eval/pdf — cosine pdf).
+        from .irawan import eval_irawan
+
+        f_iw = eval_irawan(params["iw"], params["uv"], wi, wo)
+        sels_f.append((BSDF_IRAWAN, f_iw))
+        sels_p.append((BSDF_IRAWAN, pdf_diff))
 
     if has(BSDF_WARD):
         f_w, pdf_w = _eval_pdf_ward(params, wi, wo, pdf_diff)
@@ -592,10 +615,24 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         has(BSDF_DIFFUSE) or has(BSDF_PHONG) or has(BSDF_PLASTIC)
         or has(BSDF_ROUGHPLASTIC) or has(BSDF_WARD)
         or has(BSDF_ROUGHDIFFUSE) or has(BSDF_DIFFTRANS)
+        or has(BSDF_IRAWAN)
     )
     if need_cosine:
         wo_diff = warp.square_to_cosine_hemisphere(u2)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
+
+    if has(BSDF_IRAWAN) and "iw" in params:
+        # Cosine-sampled (reference: irawan.cpp sample), weight = f / pdf.
+        f_iw_s, pdf_iw_s = eval_pdf(
+            {**params, "type": jnp.full_like(t, BSDF_IRAWAN)}, wi, wo_diff,
+            types=(BSDF_IRAWAN,),
+        )
+        w_iw = jnp.where((pdf_iw_s > 0.0)[..., None],
+                         f_iw_s / jnp.maximum(pdf_iw_s, 1e-20)[..., None],
+                         0.0)
+        wo_sel.append((BSDF_IRAWAN, wo_diff))
+        w_sel.append((BSDF_IRAWAN, w_iw))
+        pdf_sel.append((BSDF_IRAWAN, pdf_iw_s))
 
     if has(BSDF_ROUGHDIFFUSE):
         f_on, pdf_on = eval_pdf(

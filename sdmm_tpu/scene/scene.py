@@ -40,6 +40,7 @@ BSDF_ROUGHDIFFUSE = 12  # Oren-Nayar (reference: bsdfs/roughdiffuse.cpp)
 BSDF_DIFFTRANS = 13  # diffuse transmitter (reference: bsdfs/difftrans.cpp)
 BSDF_COATING = 14  # dielectric layer over a child (reference: bsdfs/coating.cpp)
 BSDF_HK = 15  # Hanrahan-Krueger single-scattering slab (reference: bsdfs/hk.cpp)
+BSDF_IRAWAN = 16  # Irawan-Marschner woven cloth (reference: bsdfs/irawan.cpp)
 
 DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
 
@@ -140,6 +141,13 @@ class SceneData(NamedTuple):
     ptri_v0: jnp.ndarray  # [3, Tp]
     ptri_e1: jnp.ndarray  # [3, Tp]
     ptri_e2: jnp.ndarray  # [3, Tp]
+    # Irawan woven-cloth tables (reference: bsdfs/irawan.h WeavePattern).
+    # One pattern per scene; rows are zeros when unused.
+    iw_pattern: jnp.ndarray  # [th, tw] int32, 0-based yarn ids
+    iw_yarns: jnp.ndarray  # [Y, 10] f32
+    iw_kd: jnp.ndarray  # [Y, 3]
+    iw_ks: jnp.ndarray  # [Y, 3]
+    iw_consts: jnp.ndarray  # [12] f32
     # Rigid keyframe animation (reference: <animation name="toWorld"> on
     # shapes, core/track.h AnimatedTransform). Geometry is baked at t=0;
     # mot_m0/mot_m1 are the two keyframe matrices per animated shape and
@@ -179,6 +187,7 @@ class RenderConfig:
 class SceneBuilder:
     soups: list[tuple[TriSoup, int, int]] = field(default_factory=list)
     shape_motion: list = field(default_factory=list)
+    irawan_pattern: object = None  # WeavePattern (bsdf/irawan.py)
     bsdfs: list[dict] = field(default_factory=list)
     textures: list[np.ndarray] = field(default_factory=list)  # [R,R,3] each
     texture_res: int = 256
@@ -541,6 +550,20 @@ class SceneBuilder:
         btri_v0 = np.where(sel, v0[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
         btri_e1 = np.where(sel, e1[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
         btri_e2 = np.where(sel, e2[: len(verts)][safe] if T else np.zeros((len(perm), 3)), 0.0)
+        if self.irawan_pattern is not None:
+            from ..bsdf.irawan import build_tables as _iw_build
+
+            iw = {k: np.asarray(v) for k, v in
+                  _iw_build(self.irawan_pattern).items()}
+        else:
+            iw = {
+                "pattern": np.zeros((1, 1), np.int32),
+                "yarns": np.full((1, 10), 0.5, np.float32),
+                "kd": np.zeros((1, 3), np.float32),
+                "ks": np.zeros((1, 3), np.float32),
+                "consts": np.full(12, 0.5, np.float32),
+            }
+        iw["pattern"] = jnp.asarray(iw["pattern"], jnp.int32)
         data = SceneData(
             tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2), tri_ng=f32(ng),
             tri_ns=f32(normals), tri_uv=f32(uvs),
@@ -632,6 +655,9 @@ class SceneBuilder:
             btri_v0=f32(btri_v0), btri_e1=f32(btri_e1), btri_e2=f32(btri_e2),
             btri_orig=i32(perm),
             ptri_v0=f32(ptri(v0)), ptri_e1=f32(ptri(e1)), ptri_e2=f32(ptri(e2)),
+            iw_pattern=iw["pattern"], iw_yarns=f32(iw["yarns"]),
+            iw_kd=f32(iw["kd"]), iw_ks=f32(iw["ks"]),
+            iw_consts=f32(iw["consts"]),
             mot_m0=f32(np.stack([m[0] for m in mot_mats])
                        if mot_mats else np.eye(4)[None]),
             mot_m1=f32(np.stack([m[1] for m in mot_mats])

@@ -513,6 +513,24 @@ class XMLLoader:
             kwargs["specular"] = p.get("specularReflectance", np.ones(3))
             kwargs["eta"] = int_v / ext_v
             kwargs["alpha"] = float(p.get("alpha", 0.1))
+        elif btype == "irawan":
+            # Woven cloth (reference: bsdfs/irawan.cpp). Pattern from a
+            # weave-DSL file (with $param substitution from the scene
+            # properties) or the built-in plain weave.
+            from ..bsdf.irawan import PLAIN_WEAVE, parse_weave
+            from .scene import BSDF_IRAWAN
+
+            fname = p.get("filename")
+            if fname:
+                with open(os.path.join(self.base_dir, fname)) as fh:
+                    text = fh.read()
+            else:
+                text = PLAIN_WEAVE
+            wp = parse_weave(text, dict(p))
+            wp.repeat_u = float(p.get("repeatU", 1.0))
+            wp.repeat_v = float(p.get("repeatV", 1.0))
+            self.builder.irawan_pattern = wp
+            code = BSDF_IRAWAN
         elif btype == "hk":
             # Hanrahan-Krueger slab (reference: bsdfs/hk.cpp). Accepts
             # sigmaS/sigmaA or sigmaT+albedo; nested hg phase sets g.
