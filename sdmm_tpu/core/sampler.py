@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
 
@@ -117,3 +118,45 @@ def camera_jitter(
     if kind == "sobol":
         return sobol_2d(sample_idx, pixel_id, key)
     return jax.random.uniform(key, pixel_id.shape + (2,))
+
+
+# --- Full-dimension Sobol sequence (reference: src/samplers/sobol.cpp,
+# which evaluates arbitrary-dimension Sobol points from direction
+# matrices). Direction numbers come from scipy's built-in Joe-Kuo table
+# at import time (host side); generation itself is pure jnp.
+def _load_sobol_directions(max_dims: int = 64):
+    try:
+        from scipy.stats import qmc
+
+        s = qmc.Sobol(d=max_dims, scramble=False, bits=32)
+        return np.asarray(s._sv, dtype=np.uint32)  # [D, 32]
+    except Exception:
+        return None
+
+
+_SOBOL_SV = _load_sobol_directions()
+
+
+def sobol_nd(sample_idx: jnp.ndarray, n_dims: int, key=None):
+    """Sobol' points [N, n_dims] for sample indices (Joe-Kuo directions,
+    gray-code order as scipy enumerates them). ``key`` applies a random
+    digital (XOR) scramble per dimension — a (t,m,s)-net-preserving
+    decorrelation (the reference's sobol.cpp likewise randomizes per
+    pixel)."""
+    if _SOBOL_SV is None or n_dims > _SOBOL_SV.shape[0]:
+        raise ValueError(f"sobol_nd supports up to "
+                         f"{0 if _SOBOL_SV is None else _SOBOL_SV.shape[0]} dims")
+    sv = jnp.asarray(_SOBOL_SV[:n_dims].astype(np.int64)).astype(jnp.uint32)
+    idx = sample_idx.astype(jnp.uint32)
+    gray = idx ^ (idx >> 1)
+    x = jnp.zeros(sample_idx.shape + (n_dims,), jnp.uint32)
+    for b in range(32):
+        bit = ((gray >> b) & 1).astype(jnp.uint32)
+        x = x ^ (bit[..., None] * sv[None, :, b])
+    if key is not None:
+        shift = jax.random.randint(
+            key, (n_dims,), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        x = x ^ shift[None, :]
+    return (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
