@@ -15,6 +15,7 @@ high across the path-length distribution.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -51,8 +52,30 @@ def main():
     from sdmm_tpu.render.wavefront import fused_supported, render_pool_fused
 
     use_fused = (
-        jax.default_backend() not in ("cpu",) and fused_supported(scene, cfg)
+        jax.default_backend() not in ("cpu",)
+        and fused_supported(scene, cfg)
+        and os.environ.get("SDMM_TPU_NO_FUSED") != "1"
     )
+    if use_fused:
+        # The megakernel's first Mosaic compile is untested on this relay;
+        # probe it in a subprocess with a hard timeout so a pathological
+        # compile cannot eat the whole bench budget. A successful probe
+        # warms the persistent compile cache for the in-process run.
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", (
+                    "import sys; sys.path.insert(0, %r);"
+                    "import bench_probe_fused" % os.path.dirname(
+                        os.path.abspath(__file__))
+                )],
+                check=True, timeout=900, capture_output=True,
+            )
+        except Exception as e:
+            print(f"# fused probe failed ({type(e).__name__}); "
+                  "falling back to the XLA pool", file=sys.stderr)
+            use_fused = False
 
     def run(seed):
         if use_fused:

@@ -1,0 +1,31 @@
+"""Subprocess probe for bench.py: compile + run the EXACT fused bench
+program once so the persistent compile cache is warm for the in-process
+run (or the parent's timeout fires and bench falls back to the pool).
+The Mosaic kernel compiles inside the enclosing XLA program, so the
+probe must build the same program bench runs — same static arguments."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+from sdmm_tpu.utils.cache import enable
+
+enable()
+import jax
+
+from sdmm_tpu.render.wavefront import render_pool_fused
+from sdmm_tpu.scene.xml_loader import load_scene
+
+scene, cfg = load_scene(
+    "/root/reference/test-suite/scenes/cornell-box/cornell-box.xml",
+    overrides={"integrator": "gt", "samplesPerIteration": 4},
+).build()
+cfg.max_depth = 10
+cfg.rr_depth = 10
+out = render_pool_fused(
+    scene, jax.random.PRNGKey(0), n_lanes=1 << 17, spp=12,
+    width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+    rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
+    bsdf_types=tuple(cfg.bsdf_types),
+)
+jax.block_until_ready(out["image"])
+print("fused probe ok")
