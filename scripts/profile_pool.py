@@ -28,7 +28,7 @@ cfg.rr_depth = 10
 
 def run(seed):
     return render_pool(
-        scene, jax.random.PRNGKey(seed), n_lanes=1 << 17, spp=12,
+        scene, jax.random.PRNGKey(seed), n_lanes=1 << 17, spp=4,
         width=cfg.width, height=cfg.height, max_depth=10, rr_depth=10,
         nee=True, bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
     )

@@ -186,6 +186,8 @@ class SDMMTrainer:
             * self.cfg.samples_per_iteration
         )
         avg_path_length.add(float(valid.sum()), n_paths)
+        self._last_samples_count = int(valid.sum())
+        self._last_mean_path_length = float(valid.sum()) / n_paths
 
         # Leaf counts for split decisions (device → host).
         leaf = find_leaf(self.tables, pos)
@@ -325,8 +327,14 @@ class SDMMTrainer:
                 "iteration": self.iteration,
                 "spp": c.samples_per_iteration,
                 "total_spp": self.total_spp + c.samples_per_iteration,
+                "elapsed_seconds": t_render + t_train,
                 "rendering_seconds": t_render,
                 "training_seconds": t_train,
+                "mean_path_length": getattr(
+                    self, "_last_mean_path_length", 0.0),
+                "samples_count": getattr(self, "_last_samples_count", 0),
+                "max_depth": max(self.tree.depth[:max(1, len(self.tree.depth))])
+                if self.tree.depth else 0,
                 "leaf_nodes_count": self.tree.n_leaves,
                 "optimized_nodes_count": n_opt,
                 "active_nodes_count": int(jnp.sum(self.initialized)),
@@ -354,4 +362,17 @@ class SDMMTrainer:
             iv = 1.0 / np.maximum(var.mean(), 1e-12)
             num += iv * mean
             den += iv
+        # Post-hoc quality metrics (reference: combine_renders.py:259-271
+        # appends mean_pixel_variance and time-to-unit-variance).
+        if iters and self.stats:
+            last = iters[-1]
+            n = np.maximum(last["weight"], 1.0)[:, None]
+            mean = last["image"] / n
+            var = np.maximum(last["sqr"] / n - mean * mean, 0.0) / np.maximum(
+                n - 1, 1)
+            mpv = float(var.mean())
+            total_s = sum(st.get("rendering_seconds", 0.0)
+                          for st in self.stats)
+            self.stats[-1]["mean_pixel_variance"] = mpv
+            self.stats[-1]["ttuv"] = mpv * total_s
         return (num / np.maximum(den, 1e-12)).reshape(h, w, 3)
