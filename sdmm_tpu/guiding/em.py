@@ -261,13 +261,34 @@ def m_step(
     return new_sdmm, new_em
 
 
+def _use_pallas_e_step(sdmm) -> bool:
+    """The Pallas suff-stats kernel (ops/em_pallas) replaces the chunked
+    scan on TPU; it is specialized to K=16 components (sdmm_proc.h:55)."""
+    import os
+
+    import jax as _jax
+
+    return (
+        _jax.default_backend() not in ("cpu",)
+        and sdmm.weight.shape[-1] == 16
+        and os.environ.get("SDMM_TPU_NO_EM_KERNEL") != "1"
+    )
+
+
 def em_step(sdmm, em, pos, d, weight, leaf, active, cfg: EMConfig = EMConfig()):
     """Full EM iteration: prepare → E-step → M-step. Returns (sdmm, em, prep)."""
     n_leaves = sdmm.weight.shape[0]
     prep = mix.prepare(sdmm)
-    sw, sm, sc, ws, cnt = e_step(
-        sdmm, prep, pos, d, weight, leaf, n_leaves, cfg.batch_size
-    )
+    if _use_pallas_e_step(sdmm):
+        from ..ops import em_pallas
+
+        sw, sm, sc, ws, cnt = em_pallas.e_step_pallas(
+            sdmm, prep, pos, d, weight, leaf, n_leaves
+        )
+    else:
+        sw, sm, sc, ws, cnt = e_step(
+            sdmm, prep, pos, d, weight, leaf, n_leaves, cfg.batch_size
+        )
     new_sdmm, new_em = m_step(sdmm, prep, em, sw, sm, sc, ws, active, cfg)
     return new_sdmm, new_em, cnt
 

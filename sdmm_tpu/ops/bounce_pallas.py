@@ -59,7 +59,17 @@ _PIX_MASK = (1 << 20) - 1
 _DEPTH_MASK = 0xF
 
 RT = 64  # sublane rows per lane tile -> RT*128 = 8192 lanes/tile
+# Chunked mode uses smaller lane tiles: the scratch-resident sweep state
+# plus Mosaic's spill stack scale with the tile and overflow the 16 MB
+# VMEM budget at RT=64.
+RT_CHUNKED = 16
 MAX_UNROLL_TRIS = 96
+# Larger scenes stream the triangle table through a fori_loop over
+# lane-aligned CHUNK-column slices of the in-VMEM table instead of a
+# fully unrolled sweep (bounded compile time, same register-resident
+# winner-attribute selection).
+CHUNK = 128
+MAX_TRIS = 4096
 
 # Triangle row indices in the [40, T] attribute-major table.
 _TV = 0  # 0-8: v0.xyz, e1.xyz, e2.xyz
@@ -99,6 +109,8 @@ def _mi_weight(pdf_a, pdf_b):
 def _mt_tri(rox, roy, roz, rdx, rdy, rdz, tri, j):
     """Möller–Trumbore of all lanes against (static) triangle j.
 
+    `tri` is either the [40, T] VMEM ref (unrolled mode) or a loaded
+    [40, CHUNK] register chunk (chunked mode); j is always static.
     Returns (t, u, v, ok_geo) where ok_geo excludes the t-range test.
     """
     v0x, v0y, v0z = tri[_TV + 0, j], tri[_TV + 1, j], tri[_TV + 2, j]
@@ -247,8 +259,10 @@ def _vndf_pdf(wix, wiy, wiz, mx, my, mz, alpha):
     )
 
 
-def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
-                   types: tuple):
+def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
+                   rr_depth: int, types: tuple):
+    chunked = n_tris > MAX_UNROLL_TRIS
+    n_chunks = n_cols // CHUNK if chunked else 0
     multi = any(t != T_DIFFUSE for t in types)
     has_cond = T_CONDUCTOR in types
     has_diel = T_DIELECTRIC in types
@@ -256,7 +270,11 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
     has_diff = T_DIFFUSE in types
 
     def kernel(state_ref, meta_ref, rand_ref, tri_ref, em_ref, env_ref,
-               nstate_ref, nmeta_ref, splat_ref):
+               nstate_ref, nmeta_ref, splat_ref, *maybe_scr):
+        # Chunked mode carries the sweep state in VMEM scratch rather than
+        # as lax.fori_loop iter_args: Mosaic cannot legalize scf.for with
+        # two dozen large vector loop-carried values.
+        scr = maybe_scr[0] if chunked else None
         tri = tri_ref  # scalar static reads only
         em = em_ref
 
@@ -275,67 +293,98 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
         exh = m & _EXH
 
         # ---- Closest-hit sweep with inline winner-attribute selection ----
-        best_t = jnp.full_like(rox, INF)
+        def hit_sweep(trs, count, carry):
+            """Sweep `count` (static) triangles of table/chunk `trs`."""
+            (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+             b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
+             b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = carry
+            for j in range(count):
+                t, u, v, okg = _mt_tri(rox, roy, roz, rdx, rdy, rdz, trs, j)
+                better = okg & (t > EPS) & (t < best_t)
+                best_t = jnp.where(better, t, best_t)
+                w0 = 1.0 - u - v
+                b_ngx = jnp.where(better, trs[_TNG + 0, j], b_ngx)
+                b_ngy = jnp.where(better, trs[_TNG + 1, j], b_ngy)
+                b_ngz = jnp.where(better, trs[_TNG + 2, j], b_ngz)
+                b_nsx = jnp.where(
+                    better,
+                    trs[_TNS + 0, j] * w0 + trs[_TNS + 3, j] * u
+                    + trs[_TNS + 6, j] * v,
+                    b_nsx,
+                )
+                b_nsy = jnp.where(
+                    better,
+                    trs[_TNS + 1, j] * w0 + trs[_TNS + 4, j] * u
+                    + trs[_TNS + 7, j] * v,
+                    b_nsy,
+                )
+                b_nsz = jnp.where(
+                    better,
+                    trs[_TNS + 2, j] * w0 + trs[_TNS + 5, j] * u
+                    + trs[_TNS + 8, j] * v,
+                    b_nsz,
+                )
+                b_emr = jnp.where(better, trs[_TEM + 0, j], b_emr)
+                b_emg = jnp.where(better, trs[_TEM + 1, j], b_emg)
+                b_emb = jnp.where(better, trs[_TEM + 2, j], b_emb)
+                b_pa = jnp.where(better, trs[_TPA, j], b_pa)
+                b_alr = jnp.where(better, trs[_TAL + 0, j], b_alr)
+                b_alg = jnp.where(better, trs[_TAL + 1, j], b_alg)
+                b_alb = jnp.where(better, trs[_TAL + 2, j], b_alb)
+                if multi:
+                    b_ty = jnp.where(better, trs[_TTY, j], b_ty)
+                if has_rc:
+                    b_alp = jnp.where(better, trs[_TALP, j], b_alp)
+                if has_cond or has_diel or has_rc:
+                    b_eta = jnp.where(better, trs[_TETA, j], b_eta)
+                if has_cond or has_diel or has_rc:
+                    b_sr = jnp.where(better, trs[_TSP + 0, j], b_sr)
+                    b_sg = jnp.where(better, trs[_TSP + 1, j], b_sg)
+                    b_sb = jnp.where(better, trs[_TSP + 2, j], b_sb)
+                if has_cond or has_rc:
+                    b_kr = jnp.where(better, trs[_TK + 0, j], b_kr)
+                    b_kg = jnp.where(better, trs[_TK + 1, j], b_kg)
+                    b_kb = jnp.where(better, trs[_TK + 2, j], b_kb)
+            return (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+                    b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
+                    b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb)
+
         zeros = jnp.zeros_like(rox)
         ones = jnp.ones_like(rox)
-        b_ngx, b_ngy, b_ngz = zeros, zeros, ones
-        b_nsx, b_nsy, b_nsz = zeros, zeros, ones
-        b_emr, b_emg, b_emb = zeros, zeros, zeros
-        b_pa = zeros
-        b_alr, b_alg, b_alb = zeros, zeros, zeros
-        b_ty = zeros
-        b_alp = zeros
-        b_eta = ones
-        b_kr, b_kg, b_kb = zeros, zeros, zeros
-        b_sr, b_sg, b_sb = ones, ones, ones
-        for j in range(n_tris):
-            t, u, v, okg = _mt_tri(rox, roy, roz, rdx, rdy, rdz, tri, j)
-            better = okg & (t > EPS) & (t < best_t)
-            best_t = jnp.where(better, t, best_t)
-            w0 = 1.0 - u - v
-            b_ngx = jnp.where(better, tri[_TNG + 0, j], b_ngx)
-            b_ngy = jnp.where(better, tri[_TNG + 1, j], b_ngy)
-            b_ngz = jnp.where(better, tri[_TNG + 2, j], b_ngz)
-            b_nsx = jnp.where(
-                better,
-                tri[_TNS + 0, j] * w0 + tri[_TNS + 3, j] * u + tri[_TNS + 6, j] * v,
-                b_nsx,
-            )
-            b_nsy = jnp.where(
-                better,
-                tri[_TNS + 1, j] * w0 + tri[_TNS + 4, j] * u + tri[_TNS + 7, j] * v,
-                b_nsy,
-            )
-            b_nsz = jnp.where(
-                better,
-                tri[_TNS + 2, j] * w0 + tri[_TNS + 5, j] * u + tri[_TNS + 8, j] * v,
-                b_nsz,
-            )
-            b_emr = jnp.where(better, tri[_TEM + 0, j], b_emr)
-            b_emg = jnp.where(better, tri[_TEM + 1, j], b_emg)
-            b_emb = jnp.where(better, tri[_TEM + 2, j], b_emb)
-            b_pa = jnp.where(better, tri[_TPA, j], b_pa)
-            b_alr = jnp.where(better, tri[_TAL + 0, j], b_alr)
-            b_alg = jnp.where(better, tri[_TAL + 1, j], b_alg)
-            b_alb = jnp.where(better, tri[_TAL + 2, j], b_alb)
-            if multi:
-                b_ty = jnp.where(better, tri[_TTY, j], b_ty)
-            if has_rc:
-                b_alp = jnp.where(better, tri[_TALP, j], b_alp)
-            if has_cond or has_diel or has_rc:
-                b_eta = jnp.where(better, tri[_TETA, j], b_eta)
-            if has_cond or has_rc:
-                b_kr = jnp.where(better, tri[_TK + 0, j], b_kr)
-                b_kg = jnp.where(better, tri[_TK + 1, j], b_kg)
-                b_kb = jnp.where(better, tri[_TK + 2, j], b_kb)
-                b_sr = jnp.where(better, tri[_TSP + 0, j], b_sr)
-                b_sg = jnp.where(better, tri[_TSP + 1, j], b_sg)
-                b_sb = jnp.where(better, tri[_TSP + 2, j], b_sb)
-            if has_diel:
-                if not (has_cond or has_rc):
-                    b_sr = jnp.where(better, tri[_TSP + 0, j], b_sr)
-                    b_sg = jnp.where(better, tri[_TSP + 1, j], b_sg)
-                    b_sb = jnp.where(better, tri[_TSP + 2, j], b_sb)
+        carry0 = (
+            jnp.full_like(rox, INF),  # best_t
+            zeros, zeros, ones,       # ng
+            zeros, zeros, ones,       # ns
+            zeros, zeros, zeros,      # em
+            zeros,                    # pa
+            zeros, zeros, zeros,      # albedo
+            zeros,                    # type
+            zeros,                    # alpha
+            ones,                     # eta
+            zeros, zeros, zeros,      # k
+            ones, ones, ones,         # specular
+        )
+        n_carry = len(carry0)
+        if chunked:
+            for i, v in enumerate(carry0):
+                scr[i] = v
+
+            def hit_chunk(c, _):
+                off = pl.multiple_of(c * CHUNK, CHUNK)
+                ch = tri[:, pl.ds(off, CHUNK)]
+                new = hit_sweep(ch, CHUNK,
+                                tuple(scr[i] for i in range(n_carry)))
+                for i in range(n_carry):
+                    scr[i] = new[i]
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, hit_chunk, 0)
+            carry = tuple(scr[i] for i in range(n_carry))
+        else:
+            carry = hit_sweep(tri, n_tris, carry0)
+        (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+         b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
+         b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = carry
 
         hit_valid = best_t < INF
         t_safe = jnp.where(hit_valid, best_t, 0.0)
@@ -484,7 +533,12 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
             f_nee_b = jnp.where(is_rc, f_rc_b, f_nee_b)
             pdf_b_nee = jnp.where(is_rc, pdf_rc_nee, pdf_b_nee)
 
-        cand = on_surface & smooth & nee_valid & (pdf_sa > 0.0)
+        # Gate NEE by maxDepth: its light vertex sits at depth0+2
+        # (reference volpath.cpp breaks before NEE once depth >= maxDepth).
+        cand = (
+            on_surface & smooth & nee_valid & (pdf_sa > 0.0)
+            & (depth0 + 2 <= max_depth)
+        )
 
         off = jnp.where(
             _dot3(b_ngx, b_ngy, b_ngz, ldx, ldy, ldz) > 0, RAY_EPS, -RAY_EPS
@@ -493,10 +547,27 @@ def _bounce_kernel(n_tris: int, n_em: int, max_depth: int, rr_depth: int,
         shy = py_ + b_ngy * off
         shz = pz_ + b_ngz * off
         t_lim = dist * (1.0 - 1e-3)
-        occ = jnp.zeros_like(alive)
-        for j in range(n_tris):
-            t, _, _, okg = _mt_tri(shx, shy, shz, ldx, ldy, ldz, tri, j)
-            occ = occ | (okg & (t > EPS) & (t < t_lim))
+
+        def occ_sweep(trs, count, occ):
+            for j in range(count):
+                t, _, _, okg = _mt_tri(shx, shy, shz, ldx, ldy, ldz, trs, j)
+                occ = occ | (okg & (t > EPS) & (t < t_lim))
+            return occ
+
+        if chunked:
+            scr[23] = jnp.zeros_like(rox)
+
+            def occ_chunk(c, _):
+                off = pl.multiple_of(c * CHUNK, CHUNK)
+                o = occ_sweep(tri[:, pl.ds(off, CHUNK)], CHUNK,
+                              scr[23] > 0.0)
+                scr[23] = jnp.where(o, 1.0, 0.0)
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, occ_chunk, 0)
+            occ = scr[23] > 0.0
+        else:
+            occ = occ_sweep(tri, n_tris, jnp.zeros_like(alive))
 
         w_nee = _mi_weight(pdf_sa, pdf_b_nee)
         scale = jnp.where(
@@ -669,28 +740,36 @@ def bounce(state, meta, rand, tri_rows, em_rows, env_row,
     R must be a multiple of RT. Returns (new_state, new_meta, splat[8,R,128]).
     """
     r = state.shape[1]
-    assert r % RT == 0, (r, RT)
-    assert n_tris <= MAX_UNROLL_TRIS
+    assert n_tris <= MAX_TRIS
+    n_cols = tri_rows.shape[1]
+    if n_tris > MAX_UNROLL_TRIS:
+        assert n_cols % CHUNK == 0, n_cols
     assert all(t in SUPPORTED_TYPES for t in types), types
-    grid = (r // RT,)
+    chunked = n_tris > MAX_UNROLL_TRIS
+    rt = RT_CHUNKED if chunked else RT
+    assert r % rt == 0, (r, rt)
+    grid = (r // rt,)
+    scratch = [pltpu.VMEM((24, rt, 128), jnp.float32)] if chunked else []
     return pl.pallas_call(
-        _bounce_kernel(n_tris, n_em, max_depth, rr_depth, tuple(types)),
+        _bounce_kernel(n_tris, n_cols, n_em, max_depth, rr_depth,
+                       tuple(types)),
         grid=grid,
+        scratch_shapes=scratch,
         in_specs=[
-            pl.BlockSpec((16, RT, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAND_ROWS, RT, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAND_ROWS, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((16, RT, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RT, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, RT, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -714,7 +793,9 @@ def diffuse_bounce(state, meta, rand, tri_rows, em_rows, env_row,
 def build_tables(scene):
     """Host/trace-time packing of the scene into kernel tables.
 
-    Returns (tri_rows [40, T], em_rows [18, E], env_row [1, 128]).
+    Returns (tri_rows [40, T_pad], em_rows [18, E], env_row [1, 128]).
+    T is padded to a CHUNK multiple for scenes past the unroll limit;
+    padding columns are all-zero (degenerate -> det == 0 -> never hit).
     """
     t = scene.tri_v0.shape[0]
     tri = jnp.zeros((TRI_ROWS, t))
@@ -741,6 +822,8 @@ def build_tables(scene):
     tri = tri.at[_TETA].set(scene.bsdf_eta[bid])
     tri = tri.at[_TK:_TK + 3].set(scene.bsdf_k[bid].T)
     tri = tri.at[_TSP:_TSP + 3].set(scene.bsdf_specular[bid].T)
+    if t > MAX_UNROLL_TRIS and t % CHUNK != 0:
+        tri = jnp.pad(tri, ((0, 0), (0, CHUNK - t % CHUNK)))
 
     m = scene.em_tri_idx.shape[0]
     if m:

@@ -1,0 +1,295 @@
+"""Pallas TPU kernel for the EM E-step sufficient statistics.
+
+The XLA e_step (guiding/em.py) is bound by HBM traffic: it materializes
+[batch, K, 5] tangent coordinates and a [batch, K, 5, 5] outer-product
+tensor per chunk and scatter-adds them into [L, K, ...] stats (PERF.md
+measured 0.94 s per 2M-sample step at reference scale). This kernel
+computes responsibilities AND accumulates the sufficient statistics
+in VMEM, so the only HBM traffic is samples in (once) and one compact
+[L, K*21] stats table out.
+
+Design (flash-attention-style revisited output blocks):
+- Samples are sorted by leaf id on the host side and padded so every
+  leaf's run occupies whole 1024-sample tiles (attribute-major
+  [8, n_tiles, 8, 128]; padding slots carry zero weight + zero direction
+  and contribute nothing).
+- The grid runs over tiles. A scalar-prefetched per-tile leaf-id array
+  drives both the per-leaf mixture-parameter gather and the output-row
+  index map; consecutive tiles of one leaf revisit the same output block.
+- Per-leaf-component accumulators (w, 5 mean, 15 covariance lower-tri
+  entries) live in VMEM scratch in vector form [K*21, 8, 128]; they are
+  reduced to scalars and written out once per leaf, on its last tile.
+
+The per-sample math mirrors guiding/mixture.component_pdf /
+posterior_and_log and guiding/tangent.log_map exactly (reference spec:
+jmm/mixture_model.h:146-192 posteriorAndLog, jmm/opt/stepwise_tangent.h
+calculateStats :270-353), except that arccos is a minimax polynomial
+(Mosaic has no acos/atan2 primitive; |err| < 1e-7 rad).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024  # samples per grid step = 8 sublane-rows of 128 lanes
+_ROWS = 8  # attribute rows: px py pz dx dy dz w (1 spare)
+K = 16  # mixture components per leaf (sdmm_proc.h:55)
+NSTAT = 21  # 1 weight + 5 mean + 15 covariance lower-triangle entries
+PARAM_COLS = 32  # per-component param scalars, padded
+OUT_COLS = NSTAT * K  # 336, padded to 512 lanes in the output table
+
+# Lower-triangle (i, j<=i) index pairs for the 5x5 covariance stats.
+TRI_PAIRS = [(i, j) for i in range(5) for j in range(i + 1)]
+
+_INV_SQRT_TWO_PI_5 = float(1.0 / np.sqrt(2.0 * np.pi) ** 5)
+
+
+def _acos_poly(x):
+    """acos via A&S 4.4.46 7th-order minimax: |err| <~ 1e-7 rad on [-1,1]."""
+    ax = jnp.abs(x)
+    p = -0.0012624911
+    p = p * ax + 0.0066700901
+    p = p * ax - 0.0170881256
+    p = p * ax + 0.0308918810
+    p = p * ax - 0.0501743046
+    p = p * ax + 0.0889789874
+    p = p * ax - 0.2145988016
+    p = p * ax + 1.5707963050
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0.0, np.pi - r, r)
+
+
+def _suffstats_kernel(tl_ref, smp_ref, par_ref, out_ref, acc_ref):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    leaf = tl_ref[t]
+    first = jnp.logical_or(t == 0, tl_ref[jnp.maximum(t - 1, 0)] != leaf)
+    last = jnp.logical_or(t == n_t - 1, tl_ref[jnp.minimum(t + 1, n_t - 1)] != leaf)
+
+    px = smp_ref[0, 0]
+    py = smp_ref[1, 0]
+    pz = smp_ref[2, 0]
+    dx = smp_ref[3, 0]
+    dy = smp_ref[4, 0]
+    dz = smp_ref[5, 0]
+    ws = smp_ref[6, 0]
+
+    dd_ok = (dx * dx + dy * dy + dz * dz) > 0.0
+
+    @pl.when(first)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Pass 1: per-component weighted pdfs + tangent coords.
+    posts = []
+    t3s = []
+    t4s = []
+    total = jnp.zeros_like(px)
+    for k in range(K):
+        wk = par_ref[0, k, 0]
+        mx, my, mz = par_ref[0, k, 1], par_ref[0, k, 2], par_ref[0, k, 3]
+        # rot columns (s, t, mu); rel = R^T d.
+        r = [par_ref[0, k, 7 + i] for i in range(9)]
+        relx = r[0] * dx + r[3] * dy + r[6] * dz
+        rely = r[1] * dx + r[4] * dy + r[7] * dz
+        relz = r[2] * dx + r[5] * dy + r[8] * dz
+        cos_a = jnp.clip(relz, -1.0, 1.0)
+        valid = (cos_a > -1.0 + 1e-7) & dd_ok
+        angle = _acos_poly(cos_a)
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        aos = jnp.where(sin_a < 1e-3, 1.0,
+                        angle / jnp.maximum(sin_a, 1e-12))
+        t3 = relx * aos
+        t4 = rely * aos
+        # Centered 5-vector; tangent dims are mean-free by construction.
+        c0 = px - mx
+        c1 = py - my
+        c2 = pz - mz
+        # z = inv_chol @ c (lower triangular, row-major lower entries).
+        ic = [par_ref[0, k, 16 + i] for i in range(15)]
+        z0 = ic[0] * c0
+        z1 = ic[1] * c0 + ic[2] * c1
+        z2 = ic[3] * c0 + ic[4] * c1 + ic[5] * c2
+        z3 = ic[6] * c0 + ic[7] * c1 + ic[8] * c2 + ic[9] * t3
+        z4 = (ic[10] * c0 + ic[11] * c1 + ic[12] * c2 + ic[13] * t3
+              + ic[14] * t4)
+        q = z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4
+        inv_det = par_ref[0, k, 31]
+        pdf = _INV_SQRT_TWO_PI_5 * jnp.exp(-0.5 * q) * inv_det * aos
+        pdf = jnp.where(valid, pdf, 0.0)
+        post = wk * pdf
+        total = total + post
+        posts.append(post)
+        t3s.append(jnp.where(valid, t3, 0.0))
+        t4s.append(jnp.where(valid, t4, 0.0))
+
+    inv_total = jnp.where(
+        (total > 0.0) & jnp.isfinite(total), 1.0 / total, 0.0
+    )
+
+    # Pass 2: accumulate {gamma*w, gamma*w*t, gamma*w*t t^T} per component.
+    for k in range(K):
+        g = posts[k] * inv_total
+        g = jnp.where(g < 1e-10, 0.0, g)
+        gw = ws * g
+        tvec = (px, py, pz, t3s[k], t4s[k])
+        base = k * NSTAT
+        acc_ref[base] += gw
+        gt = []
+        for i in range(5):
+            gti = gw * tvec[i]
+            gt.append(gti)
+            acc_ref[base + 1 + i] += gti
+        for e, (i, j) in enumerate(TRI_PAIRS):
+            acc_ref[base + 6 + e] += gt[i] * tvec[j]
+
+    @pl.when(last)
+    def _flush():
+        # One single-tile [128] row per component: 21 stats + zero padding
+        # (multi-tile 1-D vectors hit unimplemented Mosaic concatenates).
+        for k in range(K):
+            seg = acc_ref[k * NSTAT:(k + 1) * NSTAT]  # [NSTAT, 8, 128]
+            red = jnp.sum(jnp.sum(seg, axis=2), axis=1)  # [NSTAT]
+            row = jnp.concatenate(
+                [red, jnp.zeros((128 - NSTAT,), jnp.float32)]
+            )
+            out_ref[0, k] = row
+
+
+@partial(jax.jit, static_argnames=("n_leaves", "cap_tiles", "interpret"))
+def _suffstats_call(tile_leaf, samples, params, n_leaves: int,
+                    cap_tiles: int, interpret: bool = False):
+    grid = (cap_tiles,)
+    out = pl.pallas_call(
+        _suffstats_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_ROWS, 1, 8, 128), lambda t, tl: (0, t, 0, 0)),
+                pl.BlockSpec((1, K, PARAM_COLS), lambda t, tl: (tl[t], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, K, 128), lambda t, tl: (tl[t], 0, 0)),
+            scratch_shapes=[pltpu.VMEM((K * NSTAT, 8, 128), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_leaves + 1, K, 128), jnp.float32),
+        interpret=interpret,
+    )(tile_leaf, samples, params)
+    return out
+
+
+def pack_params(sdmm, prep):
+    """[L+1, K, 32] per-component scalars: w, mean(6), rot(9), inv_chol
+    lower-tri row-major (15), inv_det. Row L is an all-zero dummy."""
+    L = sdmm.weight.shape[0]
+    tri_i, tri_j = zip(*TRI_PAIRS)
+    icl = prep.inv_chol[..., list(tri_i), list(tri_j)]  # [L, K, 15]
+    par = jnp.concatenate(
+        [
+            sdmm.weight[..., None],
+            sdmm.mean,
+            prep.rot.reshape(L, K, 9),
+            icl,
+            prep.inv_det_chol[..., None],
+        ],
+        axis=-1,
+    )
+    par = jnp.pad(par, ((0, 1), (0, 0), (0, PARAM_COLS - par.shape[-1])))
+    return par
+
+
+@partial(jax.jit, static_argnames=("n_leaves", "cap"))
+def sort_and_tile(pos, d, weight, leaf, n_leaves: int, cap: int):
+    """Sort samples by leaf and pad each leaf's run to whole TILEs.
+
+    Returns (samples [8, cap_tiles, 8, 128], tile_leaf [cap_tiles] i32,
+    weight_sum [L], count [L]) where cap_tiles = cap//TILE + n_leaves + 1.
+    Invalid samples (non-finite or negative weight) are dropped from the
+    stats but still counted? No — they are excluded from count too, matching
+    e_step's `valid` mask semantics.
+    """
+    L = n_leaves
+    s = pos.shape[0]
+    assert s <= cap
+    valid = jnp.isfinite(weight) & (weight >= 0) & (leaf >= 0) & (leaf < L)
+    leaf_eff = jnp.where(valid, leaf, L).astype(jnp.int32)
+
+    counts = jnp.zeros(L + 1, jnp.int32).at[leaf_eff].add(1)
+    counts = counts.at[L].set(0)  # invalid samples go to the dump area
+    tiles_per_leaf = (counts[:L] + TILE - 1) // TILE
+    tile_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(tiles_per_leaf)]
+    )  # [L+1]
+    start_orig = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)]
+    )  # [L+2]
+
+    order = jnp.argsort(leaf_eff, stable=True)
+    sl = leaf_eff[order]
+    rank = jnp.arange(s, dtype=jnp.int32) - start_orig[sl]
+    in_dump = sl == L
+    cap_tiles = cap // TILE + L + 1
+    dest = jnp.where(
+        in_dump,
+        cap_tiles * TILE,  # past the buffer: dropped by the scatter below
+        tile_off[jnp.minimum(sl, L - 1)] * TILE + rank,
+    )
+
+    buf = jnp.zeros((_ROWS, cap_tiles * TILE))
+    rows = jnp.stack(
+        [pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.where(valid, weight, 0.0), jnp.zeros_like(weight)], axis=0
+    )[:, order]
+    buf = buf.at[:, dest].set(rows, mode="drop")
+    samples = buf.reshape(_ROWS, cap_tiles, 8, 128)
+
+    # tile_leaf[t] = leaf whose run covers tile t; dummy tiles -> L.
+    n_used = tile_off[L]
+    tids = jnp.arange(cap_tiles, dtype=jnp.int32)
+    tleaf = jnp.searchsorted(tile_off, tids, side="right").astype(jnp.int32) - 1
+    tile_leaf = jnp.where(tids < n_used, tleaf, L)
+
+    wgt = jnp.where(valid, weight, 0.0)
+    weight_sum = jnp.zeros(L).at[leaf_eff].add(
+        jnp.where(valid, wgt, 0.0), mode="drop")
+    count = jnp.zeros(L, jnp.int32).at[leaf_eff].add(
+        valid.astype(jnp.int32), mode="drop")
+    return samples, tile_leaf, weight_sum, count
+
+
+def e_step_pallas(sdmm, prep, pos, d, weight, leaf, n_leaves: int,
+                  cap: int | None = None, interpret: bool = False):
+    """Drop-in replacement for guiding.em.e_step on TPU.
+
+    Returns (stats_w [L,K], stats_mean [L,K,5], stats_cov [L,K,5,5],
+    weight_sum [L], count [L]).
+    """
+    L = n_leaves
+    s = pos.shape[0]
+    if cap is None:
+        cap = s
+    samples, tile_leaf, weight_sum, count = sort_and_tile(
+        pos, d, weight, leaf, L, cap
+    )
+    params = pack_params(sdmm, prep)
+    cap_tiles = samples.shape[1]
+    out = _suffstats_call(tile_leaf, samples, params, L, cap_tiles,
+                          interpret=interpret)
+    flat = out[:L, :, :NSTAT]  # [L, K, NSTAT]
+    visited = (count > 0)[:, None]
+    sw = jnp.where(visited, flat[..., 0], 0.0)
+    sm = jnp.where(visited[..., None], flat[..., 1:6], 0.0)
+    tri = flat[..., 6:21]  # [L, K, 15]
+    cov = jnp.zeros((L, K, 5, 5))
+    for e, (i, j) in enumerate(TRI_PAIRS):
+        cov = cov.at[..., i, j].set(tri[..., e])
+        if i != j:
+            cov = cov.at[..., j, i].set(tri[..., e])
+    sc = jnp.where(visited[..., None, None], cov, 0.0)
+    return sw, sm, sc, weight_sum, count

@@ -174,7 +174,13 @@ def trace_wave(
             wo_l = to_local(s_ax, t_ax, n_ax, ls["d"])
             f, pdf_b = bsdf_mod.eval_pdf_full(params, wi_local, wo_l, types=bsdf_types)
             smooth = bsdf_mod.has_smooth(params)
-            cand = on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+            # NEE's light vertex sits one segment past this one; the
+            # reference breaks before NEE once depth >= maxDepth
+            # (volpath.cpp), so gate it or NEE counts one extra bounce.
+            cand = (
+                on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+                & (depth + 2 <= max_depth)
+            )
             shadow_o = it["p"] + it["ng"] * jnp.where(
                 jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
             )[..., None]
@@ -230,7 +236,10 @@ def trace_wave(
                     * tr_m
                     * (f_ph * w_m / jnp.maximum(lsm["pdf"], 1e-20))[..., None]
                 )
-                cand_m = scattered & lsm["valid"] & (lsm["pdf"] > 0.0)
+                cand_m = (
+                    scattered & lsm["valid"] & (lsm["pdf"] > 0.0)
+                    & (depth + 2 <= max_depth)
+                )
                 li = li + jnp.where((cand_m & ~occ_m)[..., None], contrib_m, 0.0)
             u_ph = jax.random.uniform(k_mp, (n, 2))
             d_med, pdf_med_dir = med.hg_sample(g_ray, rd, u_ph)

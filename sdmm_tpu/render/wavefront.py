@@ -192,7 +192,14 @@ def render_pool(
                 params, wi_local, wo_l, types=bsdf_types
             )
             smooth = bsdf_mod.has_smooth(params)
-            cand = on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+            # The NEE light vertex sits at path depth depth0+2; gate it by
+            # maxDepth exactly like the reference (volpath.cpp breaks before
+            # NEE once depth >= maxDepth), else NEE counts one segment more
+            # than BSDF sampling and the estimators diverge at the cutoff.
+            cand = (
+                on_surface & ls["valid"] & smooth & (ls["pdf"] > 0.0)
+                & (depth0 + 2 <= max_depth)
+            )
             shadow_o = it["p"] + it["ng"] * jnp.where(
                 jnp.sum(it["ng"] * ls["d"], axis=-1) > 0, RAY_EPS, -RAY_EPS
             )[:, None]
@@ -298,7 +305,7 @@ def fused_supported(scene, cfg, nee: bool = True) -> bool:
         and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)
         and not cfg.has_bump
         and not cfg.has_medium
-        and scene.tri_v0.shape[0] <= bp.MAX_UNROLL_TRIS
+        and scene.tri_v0.shape[0] <= bp.MAX_TRIS
         and 1 <= scene.em_tri_idx.shape[0] <= 64
         and scene.env_pdf.shape[0] <= 1
         and scene.pt_pos.shape[0] == 0

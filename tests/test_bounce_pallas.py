@@ -144,3 +144,108 @@ def test_fused_multibsdf_matches_pool():
     nv_f = float(out_f["n_vertices"])
     nv_p = float(out_p["n_vertices"])
     assert abs(nv_f - nv_p) / nv_p < 0.04, (nv_f, nv_p)
+
+
+def _tiled_box_scene(w=24, h=24, n_panels=52):
+    """Box plus a grid of small colored tiles on the back wall — pushes the
+    triangle count past MAX_UNROLL_TRIS so the kernel takes the chunked
+    fori_loop sweep path."""
+    import numpy as np
+
+    import sdmm_tpu.scene.shapes as shp
+
+    b = make_box_scene(w, h)
+    from sdmm_tpu.scene.scene import BSDF_DIFFUSE
+
+    cols = 8
+    for i in range(n_panels):
+        r, c = divmod(i, cols)
+        bsdf = b.add_bsdf(
+            BSDF_DIFFUSE,
+            albedo=[0.2 + 0.6 * (i % 3 == 0), 0.2 + 0.6 * (i % 3 == 1),
+                    0.2 + 0.6 * (i % 3 == 2)],
+        )
+        m = np.eye(4)
+        m[:3, :3] = np.diag([0.09, 0.09, 1.0])
+        m[:3, 3] = [-0.9 + 0.25 * c, 0.15 + 0.25 * r, -0.98]
+        b.add_shape(shp.make_rectangle(m, False), bsdf)
+    return b.build()
+
+
+def _one_bounce(scene, n_tris, max_unroll, monkeypatch, seed=11,
+                pad_cols=None):
+    """One megakernel bounce on fresh random lanes with the unroll limit
+    patched, so the same scene can be pushed down either sweep path;
+    pad_cols widens the triangle table to force a multi-chunk fori_loop."""
+    import jax.numpy as jnp
+
+    from sdmm_tpu.ops import bounce_pallas as bp
+
+    monkeypatch.setattr(bp, "MAX_UNROLL_TRIS", max_unroll)
+    tri, em, env = bp.build_tables(scene)
+    if pad_cols is not None:
+        tri = jnp.pad(tri, ((0, 0), (0, pad_cols - tri.shape[1])))
+    r = bp.RT
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    # Random in-box origins and unit directions: exercises hits and misses.
+    ro = jax.random.uniform(k1, (3, r, 128), minval=-0.8, maxval=0.8)
+    ro = ro.at[1].add(1.0)
+    rd = jax.random.normal(k2, (3, r, 128))
+    rd = rd / jnp.linalg.norm(rd, axis=0, keepdims=True)
+    state = jnp.zeros((16, r, 128))
+    state = state.at[0:3].set(ro).at[3:6].set(rd)
+    state = state.at[6:9].set(1.0).at[12].set(1.0).at[13].set(1.0)
+    meta = jnp.full((r, 128), bp._ALIVE, jnp.int32)
+    rand = jax.random.uniform(jax.random.fold_in(key, 3),
+                              (bp.RAND_ROWS, r, 128))
+    out = bp.bounce(
+        state, meta, rand, tri, em, env, n_tris=n_tris,
+        n_em=int(scene.em_tri_idx.shape[0]), max_depth=6, rr_depth=6,
+        types=(0,), interpret=True,
+    )
+    return [np.asarray(x) for x in out]
+
+
+def test_fused_chunked_matches_unrolled(monkeypatch):
+    """The chunked fori_loop triangle sweep is bit-identical to the fully
+    unrolled sweep on the same scene: both zero-padding within one chunk
+    and the multi-chunk partition (2 chunks) leave the result unchanged.
+
+    Uses the 12-triangle box with the unroll limit patched down instead of
+    a >96-triangle scene: a 100+-triangle sweep makes XLA's CPU compile of
+    the interpret-mode kernel pathologically slow, while the patched route
+    compiles in seconds and exercises the identical code. CHUNK is likewise
+    patched down from 128 (only needed for TPU lane alignment, which
+    interpret mode ignores) to keep the chunk-body unroll small."""
+    from sdmm_tpu.ops import bounce_pallas as bp
+
+    scene, cfg = make_box_scene(24, 24).build()
+    n_tris = int(scene.tri_v0.shape[0])
+    assert n_tris <= bp.MAX_UNROLL_TRIS
+
+    unrolled = _one_bounce(scene, n_tris, max_unroll=96,
+                           monkeypatch=monkeypatch)
+    monkeypatch.setattr(bp, "CHUNK", 16)
+    one_chunk = _one_bounce(scene, n_tris, max_unroll=8,
+                            monkeypatch=monkeypatch, pad_cols=16)
+    two_chunks = _one_bounce(scene, n_tris, max_unroll=8,
+                             monkeypatch=monkeypatch, pad_cols=32)
+    for a, b in zip(unrolled, one_chunk):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(unrolled, two_chunks):
+        np.testing.assert_array_equal(a, b)
+    # The bounce did real work: some lanes hit surfaces.
+    assert unrolled[2][7].sum() > 0
+
+
+def test_fused_gate_admits_chunked_scene():
+    """Scenes past the unroll limit (chunked sweep) pass the host gate and
+    pad their triangle table to whole chunks."""
+    from sdmm_tpu.ops import bounce_pallas as bp
+
+    scene, cfg = _tiled_box_scene()
+    assert int(scene.tri_v0.shape[0]) > bp.MAX_UNROLL_TRIS
+    assert wf.fused_supported(scene, cfg)
+    tri, _, _ = bp.build_tables(scene)
+    assert tri.shape[1] % bp.CHUNK == 0
