@@ -445,3 +445,115 @@ def load_obj(
         soup.add(pv[None], None if pn is None else pn[None],
                  None if pt is None else pt[None])
     return soup
+
+
+def _round_pow2_plus_1(n: int) -> int:
+    """Smallest 2^k + 1 >= n (reference rounds W-1/H-1 to powers of two,
+    heightfield.cpp:512-513)."""
+    n = max(n, 2)
+    k = n - 1
+    if k & (k - 1) == 0:
+        return n
+    return (1 << (k - 1).bit_length()) + 1
+
+
+def load_height_data(path: str, scale: float = 1.0) -> np.ndarray:
+    """Image file -> luminance height grid [H, W] (ITU-R 709 weights, as
+    Bitmap::ELuminance; reference: heightfield.cpp:517-530)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "exr":
+        from ..utils.exr import read_exr
+
+        img = np.asarray(read_exr(path), dtype=np.float64)
+    else:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path), dtype=np.float64)
+        if img.dtype.kind in "ui" or img.max() > 1.5:
+            img = img / 255.0
+    if img.ndim == 3:
+        c = img.shape[-1]
+        if c >= 3:
+            img = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+                   + 0.072169 * img[..., 2])
+        else:
+            img = img[..., 0]
+    return img * scale
+
+
+def _resample_bilinear(data: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Clamped bilinear resample to (h, w). The reference uses its
+    reconstruction filter (heightfield.cpp:522); bilinear is an adequate
+    stand-in for height data."""
+    h0, w0 = data.shape
+    if (h0, w0) == (h, w):
+        return data
+    ys = np.linspace(0, h0 - 1, h)
+    xs = np.linspace(0, w0 - 1, w)
+    y0 = np.clip(np.floor(ys).astype(int), 0, h0 - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w0 - 1)
+    y1 = np.minimum(y0 + 1, h0 - 1)
+    x1 = np.minimum(x0 + 1, w0 - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    d00 = data[np.ix_(y0, x0)]
+    d01 = data[np.ix_(y0, x1)]
+    d10 = data[np.ix_(y1, x0)]
+    d11 = data[np.ix_(y1, x1)]
+    return (d00 * (1 - fy) * (1 - fx) + d01 * (1 - fy) * fx
+            + d10 * fy * (1 - fx) + d11 * fy * fx)
+
+
+def make_heightfield(
+    data: np.ndarray,
+    to_world: np.ndarray | None = None,
+    shading_normals: bool = True,
+    flip_normals: bool = False,
+) -> TriSoup:
+    """Height field -> triangle soup, the TPU-native reading of the
+    reference's bilinear-patch min-max-mipmap shape
+    (mitsuba/src/shapes/heightfield.cpp).
+
+    The reference traverses a min-max mipmap per ray on the CPU; our
+    compute path is a flat SoA triangle sweep/BVH on device, so the grid
+    is tessellated at load time instead (2 triangles per cell). Object
+    space matches the reference exactly: the (W, H) grid is resampled so
+    W-1 and H-1 are powers of two (heightfield.cpp:510-513), placed on
+    [-1,1]^2 in xy with z = height (translate(-1,-1,0) . scale(2/(W-1),
+    2/(H-1), 1), heightfield.cpp:531-533); uv = grid/(W-1, H-1)
+    (fillIntersectionRecord, :384).
+    """
+    data = np.asarray(data, dtype=np.float64)
+    h0, w0 = data.shape
+    w = _round_pow2_plus_1(w0)
+    h = _round_pow2_plus_1(h0)
+    data = _resample_bilinear(data, w, h)
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    obj = np.stack(
+        [xs * (2.0 / (w - 1)) - 1.0, ys * (2.0 / (h - 1)) - 1.0, data],
+        axis=-1,
+    ).reshape(-1, 3)
+    uv = np.stack([xs / (w - 1), ys / (h - 1)], axis=-1).reshape(-1, 2)
+
+    # Per-vertex normals of z = f(x, y) in object space: (-df/dx, -df/dy, 1).
+    # np.gradient uses central differences inside / one-sided at the border,
+    # matching the reference's averaged patch normals to first order.
+    dz_dy, dz_dx = np.gradient(data, 2.0 / (h - 1), 2.0 / (w - 1))
+    vn = np.stack(
+        [-dz_dx, -dz_dy, np.ones_like(data)], axis=-1
+    ).reshape(-1, 3)
+    vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-20)
+
+    i = (ys[:-1, :-1] * w + xs[:-1, :-1]).reshape(-1)
+    v00, v10, v01, v11 = i, i + 1, i + w, i + w + 1
+    faces = np.concatenate(
+        [np.stack([v00, v10, v11], axis=-1),
+         np.stack([v00, v11, v01], axis=-1)], axis=0
+    )
+    mesh = {"positions": obj, "faces": faces, "uv": uv}
+    if shading_normals:
+        mesh["normals"] = vn
+    else:
+        mesh["face_normals"] = True
+    return mesh_to_soup(mesh, to_world, flip_normals)

@@ -763,6 +763,25 @@ class XMLLoader:
             if bool(p.get("faceNormals", False)):
                 mesh["face_normals"] = True
             soup = shp.mesh_to_soup(mesh, to_world, flip)
+        elif stype == "heightfield":
+            # Reference: mitsuba/src/shapes/heightfield.cpp — height values
+            # from 'filename' or a nested bitmap texture, scaled by 'scale'.
+            scale = float(p.get("scale", 1.0))
+            fname = p.get("filename", "")
+            if not fname:
+                for sub in el:
+                    if sub.tag == "texture":
+                        fname = _props(sub, self.variables).get("filename", "")
+                        if fname:
+                            break
+            if not fname:
+                return  # procedural textures unsupported: skip
+            data = shp.load_height_data(os.path.join(base_dir, fname), scale)
+            soup = shp.make_heightfield(
+                data, to_world,
+                shading_normals=bool(p.get("shadingNormals", True)),
+                flip_normals=flip,
+            )
         else:
             return  # unsupported shape type: skip
         if collect is not None:
