@@ -37,6 +37,7 @@ from ..scene.scene import (
     BSDF_ROUGHDIELECTRIC,
     BSDF_ROUGHDIFFUSE,
     BSDF_ROUGHPLASTIC,
+    BSDF_THINDIELECTRIC,
     BSDF_WARD,
 )
 from . import microfacet as mf
@@ -199,7 +200,10 @@ def is_delta_only(params: dict) -> jnp.ndarray:
     """True where the BSDF has only delta lobes (no smooth component)."""
 
     def _delta(t):
-        return (t == BSDF_CONDUCTOR) | (t == BSDF_DIELECTRIC) | (t == BSDF_NULL)
+        return (
+            (t == BSDF_CONDUCTOR) | (t == BSDF_DIELECTRIC)
+            | (t == BSDF_NULL) | (t == BSDF_THINDIELECTRIC)
+        )
 
     d = _delta(params["type"])
     if "blend_b" in params:
@@ -694,6 +698,33 @@ def sample(params: dict, wi: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray,
         pdf_sel.append((BSDF_DIELECTRIC, jnp.where(refl_choice, fr, 1.0 - fr)))
         eta_sel.append((BSDF_DIELECTRIC, jnp.where(refl_choice, 1.0, eta_it)))
         delta = delta | (t == BSDF_DIELECTRIC)
+
+    if has(BSDF_THINDIELECTRIC):
+        # Thin dielectric slab (reference: bsdfs/thindielectric.cpp):
+        # total reflectance includes internal bounces, R' = R + T²R/(1−R²);
+        # transmission passes straight through (wo = −wi, no bend, no
+        # radiance scaling since both interfaces cancel).
+        fr0, _, _, _ = fresnel_dielectric(jnp.abs(cos_i), params["eta"])
+        tr0 = 1.0 - fr0
+        fr_thin = jnp.where(
+            fr0 < 1.0,
+            fr0 + tr0 * tr0 * fr0 / jnp.maximum(1.0 - fr0 * fr0, 1e-12),
+            1.0,
+        )
+        refl_thin = u1 < fr_thin
+        wo_thin = jnp.where(refl_thin[..., None], reflect(wi), -wi)
+        w_thin = jnp.where(
+            refl_thin[..., None], params["specular"], params["albedo"]
+        )
+        wo_sel.append((BSDF_THINDIELECTRIC, wo_thin))
+        w_sel.append((BSDF_THINDIELECTRIC, w_thin))
+        pdf_sel.append((
+            BSDF_THINDIELECTRIC, jnp.where(refl_thin, fr_thin, 1.0 - fr_thin)
+        ))
+        delta = delta | (t == BSDF_THINDIELECTRIC)
+        # Straight-through transmission crosses the geometric surface; skip
+        # the sidedness cull like null pass-through does.
+        passthrough = passthrough | ((t == BSDF_THINDIELECTRIC) & ~refl_thin)
 
     alpha = params["alpha"]
     if has(BSDF_ROUGHCONDUCTOR):

@@ -41,8 +41,9 @@ BSDF_DIFFTRANS = 13  # diffuse transmitter (reference: bsdfs/difftrans.cpp)
 BSDF_COATING = 14  # dielectric layer over a child (reference: bsdfs/coating.cpp)
 BSDF_HK = 15  # Hanrahan-Krueger single-scattering slab (reference: bsdfs/hk.cpp)
 BSDF_IRAWAN = 16  # Irawan-Marschner woven cloth (reference: bsdfs/irawan.cpp)
+BSDF_THINDIELECTRIC = 17  # thin slab, no refraction (reference: bsdfs/thindielectric.cpp)
 
-DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL)
+DELTA_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_NULL, BSDF_THINDIELECTRIC)
 
 
 class SceneData(NamedTuple):

@@ -487,7 +487,12 @@ class XMLLoader:
             ext_v = DIELECTRIC_IOR.get(ext_ior, None) if isinstance(ext_ior, str) else float(ext_ior)
             int_v = 1.5046 if int_v is None else int_v
             ext_v = 1.000277 if ext_v is None else ext_v
-            code = BSDF_ROUGHDIELECTRIC if btype == "roughdielectric" else BSDF_DIELECTRIC
+            from .scene import BSDF_THINDIELECTRIC
+
+            code = {
+                "roughdielectric": BSDF_ROUGHDIELECTRIC,
+                "thindielectric": BSDF_THINDIELECTRIC,
+            }.get(btype, BSDF_DIELECTRIC)
             kwargs["eta"] = int_v / ext_v
             kwargs["specular"] = p.get("specularReflectance", np.ones(3))
             kwargs["albedo"] = p.get("specularTransmittance", np.ones(3))

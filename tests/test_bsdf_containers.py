@@ -452,3 +452,79 @@ def test_roughcoating_specular_lobe_near_mirror():
     close = (wo @ mirror) > 0.99
     # The specular branch (~Fresnel-weighted) lands tight around mirror.
     assert close.mean() > 0.02
+
+
+def test_thindielectric_sample_semantics():
+    """Thin slab (reference: bsdfs/thindielectric.cpp): reflect fraction
+    matches R' = R + T^2 R/(1-R^2); transmission is straight through."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+    from sdmm_tpu.bsdf.fresnel import fresnel_dielectric
+    from sdmm_tpu.scene.scene import BSDF_THINDIELECTRIC
+
+    n = 200_000
+    eta = 1.5
+    wi = np.array([0.3, -0.2, 0.0])
+    wi[2] = np.sqrt(1 - wi[0] ** 2 - wi[1] ** 2)
+    params = {
+        "type": jnp.full((n,), BSDF_THINDIELECTRIC, dtype=jnp.int32),
+        "albedo": jnp.ones((n, 3)),
+        "specular": jnp.ones((n, 3)),
+        "alpha": jnp.full((n,), 0.1),
+        "eta": jnp.full((n,), eta),
+        "k": jnp.zeros((n, 3)),
+        "exponent": jnp.full((n,), 30.0),
+        "alpha_v": jnp.full((n,), 0.1),
+    }
+    wi_b = jnp.tile(jnp.asarray(wi), (n, 1))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n, 2))
+    bs = bsdf_mod.sample(params, wi_b, u1, u2)
+    wo = np.asarray(bs["wo"])
+    assert bool(np.asarray(bs["delta"]).all())
+
+    refl = wo[:, 2] > 0
+    fr0 = float(np.asarray(
+        fresnel_dielectric(jnp.asarray([wi[2]]), jnp.asarray([eta]))[0]
+    )[0])
+    fr_thin = fr0 + (1 - fr0) ** 2 * fr0 / (1 - fr0 * fr0)
+    assert abs(refl.mean() - fr_thin) < 0.01, (refl.mean(), fr_thin)
+    # Reflection mirrors, transmission passes straight through.
+    assert np.allclose(wo[refl], wi * np.array([-1, -1, 1]), atol=1e-6)
+    assert np.allclose(wo[~refl], -wi, atol=1e-6)
+    # Delta weights are unit (energy conservation: R'+T' = 1 by selection).
+    w = np.asarray(bs["weight"])
+    assert np.allclose(w, 1.0, atol=1e-6)
+    # Straight-through lanes are flagged pass (skip sidedness cull).
+    assert bool(np.asarray(bs["pass"])[~refl].all())
+    assert not bool(np.asarray(bs["pass"])[refl].any())
+
+
+def test_thindielectric_eta1_transmits_everything():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdmm_tpu import bsdf as bsdf_mod
+    from sdmm_tpu.scene.scene import BSDF_THINDIELECTRIC
+
+    n = 10_000
+    params = {
+        "type": jnp.full((n,), BSDF_THINDIELECTRIC, dtype=jnp.int32),
+        "albedo": jnp.ones((n, 3)),
+        "specular": jnp.ones((n, 3)),
+        "alpha": jnp.full((n,), 0.1),
+        "eta": jnp.ones((n,)),
+        "k": jnp.zeros((n, 3)),
+        "exponent": jnp.full((n,), 30.0),
+        "alpha_v": jnp.full((n,), 0.1),
+    }
+    wi = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    u1 = jax.random.uniform(jax.random.PRNGKey(0), (n,))
+    u2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 2))
+    bs = bsdf_mod.sample(params, wi, u1, u2)
+    assert bool((np.asarray(bs["wo"])[:, 2] < 0).all())
