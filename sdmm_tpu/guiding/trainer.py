@@ -138,6 +138,29 @@ class SDMMTrainer:
         pix_all = np.arange(n_waves * wave, dtype=np.int32) % n_pix
 
         gs = self.guide_state()
+        base = jax.random.fold_in(jax.random.PRNGKey(c.seed), self.iteration)
+
+        if not collect and n_pix <= (1 << 20):
+            # Pure-render iteration (no vertex records needed): use the
+            # regenerating lane pool — dead lanes restart on the next camera
+            # sample, so occupancy doesn't decay with the path survival
+            # curve (see render/wavefront.py; ~3x on the plain tracer).
+            from ..render.guided import render_pool_guided
+
+            lanes = min(c.rays_per_wave * 2,
+                        n_pix * c.samples_per_iteration)
+            out = render_pool_guided(
+                scene, gs, base, n_lanes=lanes,
+                spp=c.samples_per_iteration, width=w, height=h,
+                max_depth=rc.max_depth, rr_depth=rc.rr_depth,
+                bsdf_fraction=c.bsdf_fraction,
+                bsdf_types=rc.bsdf_types or None, fov_axis=rc.fov_axis,
+            )
+            n_paths = max(1, n_pix * c.samples_per_iteration)
+            self._last_samples_count = 0
+            self._last_mean_path_length = float(out["n_vertices"]) / n_paths
+            return out["image"], out["sqr"], out["weight"], []
+
         image = jnp.zeros((n_pix, 3))
         sqr = jnp.zeros((n_pix, 3))
         weight = jnp.zeros((n_pix,))
@@ -160,7 +183,6 @@ class SDMMTrainer:
             image, sqr, weight = film_mod.splat(image, sqr, weight, pixel_idx, li)
             return image, sqr, weight, samples
 
-        base = jax.random.fold_in(jax.random.PRNGKey(c.seed), self.iteration)
         for s in range(c.samples_per_iteration):
             for wv in range(n_waves):
                 k = jax.random.fold_in(jax.random.fold_in(base, s), wv)

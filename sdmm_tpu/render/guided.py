@@ -268,3 +268,253 @@ def trace_wave_guided(
         "valid": valid.reshape(-1),
     }
     return li, samples
+
+
+# ---------------------------------------------------------------------------
+# Regenerating-pool guided renderer (no sample collection).
+#
+# The scan-based trace_wave_guided keeps lane occupancy tied to the path
+# survival curve (see render/wavefront.py's rationale: mean path length
+# ~3.5 of max_depth 10 leaves >60% of lanes idle late). Training iterations
+# need per-vertex sample records and keep the scan; the pure-render
+# iterations — 3/4 of the budget (reference trains on the first quarter,
+# volpath_sdmm.cpp:416) — regenerate dead lanes from a global sample
+# counter exactly like render_pool.
+
+# f32 state columns (no ppdf: the reference's guided tracer uses MIS
+# weight ≡ 1 on emitter hits, sdmm_proc.cpp:816).
+_RO = slice(0, 3)
+_RD = slice(3, 6)
+_THR = slice(6, 9)
+_LI = slice(9, 12)
+_ETA2 = 12
+_NCOLS = 13
+
+_DEPTH_SHIFT = 20
+_ALIVE = 1 << 24
+_EXH = 1 << 25
+_PIX_MASK = (1 << 20) - 1
+_DEPTH_MASK = 0xF
+
+
+@partial(jax.jit, static_argnames=(
+    "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
+    "bsdf_fraction", "bsdf_types", "fov_axis",
+))
+def render_pool_guided(
+    scene,
+    gs: GuideState,
+    key,
+    n_lanes: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    bsdf_fraction: float = 0.5,
+    bsdf_types: tuple | None = None,
+    fov_axis: str = "x",
+):
+    """Guided render of width×height at spp with a regenerating lane pool.
+
+    Returns dict(image, sqr, weight [flat n_pix…], n_vertices, steps).
+    Estimator-identical to looping trace_wave_guided over waves (same
+    one-sample-MIS, same pdf mix), minus the training-sample outputs.
+    """
+    from ..scene.sensor import generate_rays
+
+    n_pix = width * height
+    assert n_pix <= _PIX_MASK
+    assert max_depth <= _DEPTH_MASK + 1
+    total = n_pix * spp
+
+    def cond_fn(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_sel, k_b1, k_b2, k_g, k_rr = jax.random.split(k, 6)
+
+        st = c["state"]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        pix = meta & _PIX_MASK
+        depth0 = (meta >> _DEPTH_SHIFT) & _DEPTH_MASK
+
+        # --- Regenerate dead lanes (global counter; see render_pool) ---
+        need = ~alive & ~exhausted
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        g = c["cursor"] + rank
+        in_budget = need & (g < total)
+        pix_n = jnp.where(in_budget, g % n_pix, 0)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        px = (pix_n % width).astype(jnp.float32) + u[:, 0]
+        py = (pix_n // width).astype(jnp.float32) + u[:, 1]
+        ro_n, rd_n = generate_rays(
+            scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
+        )
+        start = in_budget
+        exhausted = exhausted | (need & ~in_budget)
+        c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
+        pix = jnp.where(start, pix_n, pix)
+        fresh = jnp.concatenate([
+            ro_n, rd_n, jnp.ones((n_lanes, 3)), jnp.zeros((n_lanes, 3)),
+            jnp.ones((n_lanes, 1)),
+        ], axis=-1)
+        st = jnp.where(start[:, None], fresh, st)
+        depth0 = jnp.where(start, 0, depth0)
+        alive = alive | start
+
+        ro = st[:, _RO]
+        rd = st[:, _RD]
+        thr = st[:, _THR]
+
+        # --- One guided bounce (mirrors trace_wave_guided's body) ---
+        hit = intersect(scene, ro, rd)
+        it = surface_interaction(scene, ro, rd, hit)
+
+        le = emitters.eval_emitter(scene, it, -rd)
+        li = st[:, _LI] + jnp.where(alive[:, None], thr * le, 0.0)
+        escaped = alive & ~hit["valid"]
+        li = li + jnp.where(
+            escaped[:, None], thr * emitters.env_eval(scene, rd), 0.0
+        )
+        on_surface = alive & hit["valid"]
+        c["n_vert"] = c["n_vert"] + jnp.sum(on_surface).astype(jnp.float32)
+
+        params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
+        s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
+        wi_local = to_local(s_ax, t_ax, n_ax, -rd)
+        wi_dot_geo = jnp.sum(it["ng"] * -rd, axis=-1)
+        on_surface = on_surface & ~(wi_dot_geo * wi_local[..., 2] < 0.0)
+
+        c_pos = canonical(gs, it["p"])
+        leaf = stree.find_leaf(gs.tables, c_pos)
+        use_guide = gs.initialized[leaf]
+        prep_g = _gather_prep(gs.prep, leaf)
+        cond = mix.create_conditional(prep_g, gs.sdmm.weight[leaf], c_pos)
+        delta_only = bsdf_mod.is_delta_only(params)
+        guide_ok = use_guide & cond.valid & ~delta_only
+
+        if gs.learned is not None:
+            from ..guiding.learned_bsdf import to_world_conditional
+
+            learned_cond, has_dmm = to_world_conditional(
+                gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
+            )
+            prod = mix.product(cond, learned_cond)
+            use_product = guide_ok & has_dmm & prod.valid
+        else:
+            use_product = jnp.zeros(n_lanes, dtype=bool)
+            prod = None
+
+        h = jnp.where(guide_ok, bsdf_fraction, 1.0)
+        h = jnp.where(use_product, 0.3, h)
+
+        u_sel = jax.random.uniform(k_sel, (n_lanes,))
+        take_bsdf = (u_sel < h) | ~guide_ok
+
+        u1 = jax.random.uniform(k_b1, (n_lanes,))
+        u2 = jax.random.uniform(k_b2, (n_lanes, 2))
+        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n_lanes,))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
+
+        d_guide, g_ok = mix.conditional_sample(cond, k_g)
+        if prod is not None:
+            d_prod, p_ok = mix.conditional_sample(prod, jax.random.fold_in(k_g, 1))
+            d_guide = jnp.where(use_product[..., None], d_prod, d_guide)
+            g_ok = jnp.where(use_product, p_ok, g_ok)
+        wo_guide_local = to_local(s_ax, t_ax, n_ax, d_guide)
+
+        wo_local = jnp.where(take_bsdf[..., None], bs["wo"], wo_guide_local)
+        wo_world = jnp.where(
+            take_bsdf[..., None], to_world(s_ax, t_ax, n_ax, bs["wo"]), d_guide
+        )
+        sampled_delta = take_bsdf & bs["delta"]
+
+        f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf_full(
+            params, wi_local, wo_local, types=bsdf_types
+        )
+        gmm_pdf = jnp.where(guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
+        if prod is not None:
+            prod_pdf = mix.conditional_pdf(prod, wo_world)
+            gmm_pdf = jnp.where(use_product, prod_pdf, gmm_pdf)
+        mis_pdf = h * bsdf_pdf_eval + (1.0 - h) * gmm_pdf
+
+        w_smooth = f_eval / jnp.maximum(mis_pdf, 1e-20)[..., None]
+        w_delta = bs["weight"] / jnp.maximum(h, 1e-6)[..., None]
+        bweight = jnp.where(sampled_delta[..., None], w_delta, w_smooth)
+        ok_sample = jnp.where(
+            sampled_delta,
+            jnp.any(bs["weight"] > 0.0, axis=-1),
+            (mis_pdf > 0.0)
+            & jnp.any(f_eval > 0.0, axis=-1)
+            & (take_bsdf | g_ok),
+        )
+        wo_dot_geo = jnp.sum(it["ng"] * wo_world, axis=-1)
+        ok_sample = ok_sample & ~(wo_dot_geo * wo_local[..., 2] <= 0.0)
+
+        depth = depth0 + 1
+        survive = on_surface & ok_sample & (depth < max_depth)
+        thr_next = thr * jnp.where(survive[:, None], bweight, 1.0)
+        eta_sq = st[:, _ETA2] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
+
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(thr_next, axis=-1) * eta_sq, 0.95)
+        )
+        do_rr = depth + 1 >= rr_depth
+        u_rr = jax.random.uniform(k_rr, (n_lanes,))
+        survive = survive & ~(do_rr & (u_rr >= q))
+        thr_next = jnp.where(
+            (do_rr & survive)[:, None],
+            thr_next / jnp.maximum(q, 1e-6)[:, None], thr_next,
+        )
+
+        # --- Terminate finished paths: fused film scatter ---
+        done = alive & ~survive
+        li_s = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+        val = jnp.where(done[:, None], li_s, 0.0)
+        row = jnp.concatenate(
+            [val, val * val,
+             done.astype(jnp.float32)[:, None],
+             jnp.zeros((n_lanes, 1))], axis=-1,
+        )
+        c["film"] = c["film"].at[pix].add(row)
+
+        ro_next = it["p"] + it["ng"] * jnp.where(
+            wo_dot_geo > 0, RAY_EPS, -RAY_EPS
+        )[:, None]
+        c["state"] = jnp.concatenate(
+            [ro_next, wo_world, thr_next, li, eta_sq[:, None]], axis=-1
+        )
+        depth_packed = jnp.where(survive, depth, 0) & _DEPTH_MASK
+        c["meta"] = (
+            pix
+            | (depth_packed << _DEPTH_SHIFT)
+            | jnp.where(survive, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+        )
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_pix, 8)),
+        "cursor": jnp.int32(0),
+        "state": jnp.zeros((n_lanes, _NCOLS))
+        .at[:, 5].set(1.0)
+        .at[:, _THR].set(1.0)
+        .at[:, _ETA2].set(1.0),
+        "meta": jnp.zeros((n_lanes,), jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond_fn, body, init)
+    return {
+        "image": out["film"][:, 0:3],
+        "sqr": out["film"][:, 3:6],
+        "weight": out["film"][:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+    }

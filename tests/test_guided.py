@@ -89,3 +89,48 @@ def test_async_em_overlap_unbiased():
         ref["image"]).mean()
     assert rel < 0.2, rel
     assert int(jnp.sum(trainer.initialized)) > 0
+
+
+def test_pool_guided_matches_scan_estimator(trained):
+    """render_pool_guided (regenerating lanes) must agree in mean with the
+    scan-based trace_wave_guided at equal spp — same estimator, different
+    scheduling."""
+    scene, cfg, trainer, combined, iters = trained
+    from sdmm_tpu.render.guided import render_pool_guided, trace_wave_guided
+    from sdmm_tpu.scene.sensor import generate_rays
+
+    gs = trainer.guide_state()
+    w = h = 24
+    spp = 32
+    out = render_pool_guided(
+        scene, gs, jax.random.PRNGKey(5), n_lanes=2048, spp=spp,
+        width=w, height=h, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+        bsdf_fraction=trainer.cfg.bsdf_fraction,
+        bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
+    )
+    pool_img = np.asarray(out["image"]) / np.maximum(
+        np.asarray(out["weight"]), 1.0
+    )[:, None]
+    assert np.isfinite(pool_img).all()
+    # Exactly spp samples land on every pixel.
+    assert (np.asarray(out["weight"]) == spp).all()
+
+    n = w * h
+    acc = np.zeros((n, 3))
+    pix = jnp.arange(n, dtype=jnp.int32)
+    for s in range(spp):
+        k = jax.random.fold_in(jax.random.PRNGKey(99), s)
+        u = jax.random.uniform(k, (n, 2))
+        px = (pix % w).astype(jnp.float32) + u[:, 0]
+        py = (pix // w).astype(jnp.float32) + u[:, 1]
+        ro, rd = generate_rays(scene, jnp.stack([px, py], -1), w, h, cfg.fov_axis)
+        li, _ = trace_wave_guided(
+            scene, gs, jax.random.fold_in(k, 1), ro, rd,
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            bsdf_fraction=trainer.cfg.bsdf_fraction,
+            bsdf_types=cfg.bsdf_types or None,
+        )
+        acc += np.nan_to_num(np.asarray(li))
+    scan_img = acc / spp
+    rel = abs(pool_img.mean() - scan_img.mean()) / max(scan_img.mean(), 1e-9)
+    assert rel < 0.1, (pool_img.mean(), scan_img.mean())
