@@ -71,19 +71,25 @@ MAX_UNROLL_TRIS = 96
 CHUNK = 128
 MAX_TRIS = 4096
 
-# Triangle row indices in the [40, T] attribute-major table.
-_TV = 0  # 0-8: v0.xyz, e1.xyz, e2.xyz
-_TNG = 9  # 9-11: geometric normal
-_TNS = 12  # 12-20: vertex shading normals n0.xyz n1.xyz n2.xyz
-_TEM = 21  # 21-23: emitted radiance rgb
-_TPA = 24  # 24: NEE selection pdf / area (0 for non-emitters)
-_TAL = 25  # 25-27: diffuse albedo rgb
-_TTY = 28  # bsdf type code (as f32)
-_TALP = 29  # GGX roughness
-_TETA = 30  # ior / conductor eta (scalar)
-_TK = 31  # 31-33: conductor absorption k rgb
-_TSP = 34  # 34-36: specular reflectance rgb
-TRI_ROWS = 40
+# Triangle row indices in the [43, T] attribute-major table.
+# Rows 0-11 hold the Woop affine precompute instead of raw vertices
+# (the same precomputed-transform move as the reference's Wald TriAccel,
+# mitsuba/include/mitsuba/render/triaccel.h): B = [e1 e2 n]^-1 row-major,
+# c = -B·v0, so o' = B·ro + c, d' = B·rd, t = -o'_z/d'_z,
+# (u, v) = (o'_xy + t·d'_xy) are exact barycentrics. ~30% fewer sweep ops
+# than Möller–Trumbore and no per-pair cross products.
+_TW = 0  # 0-8: B row-major; 9-11: c
+_TNG = 12  # 12-14: geometric normal
+_TNS = 15  # 15-23: vertex shading normals n0.xyz n1.xyz n2.xyz
+_TEM = 24  # 24-26: emitted radiance rgb
+_TPA = 27  # 27: NEE selection pdf / area (0 for non-emitters)
+_TAL = 28  # 28-30: diffuse albedo rgb
+_TTY = 31  # bsdf type code (as f32)
+_TALP = 32  # GGX roughness
+_TETA = 33  # ior / conductor eta (scalar)
+_TK = 34  # 34-36: conductor absorption k rgb
+_TSP = 37  # 37-39: specular reflectance rgb
+TRI_ROWS = 43
 
 # Emitter row indices in the [18, E] table.
 _ECDF = 0
@@ -106,31 +112,30 @@ def _mi_weight(pdf_a, pdf_b):
     return jnp.where(pdf_a > 0.0, a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-32), 0.0)
 
 
-def _mt_tri(rox, roy, roz, rdx, rdy, rdz, tri, j):
-    """Möller–Trumbore of all lanes against (static) triangle j.
+def _woop_tri(rox, roy, roz, rdx, rdy, rdz, tri, j):
+    """Woop-transform intersection of all lanes against (static) tri j.
 
-    `tri` is either the [40, T] VMEM ref (unrolled mode) or a loaded
-    [40, CHUNK] register chunk (chunked mode); j is always static.
+    `tri` is either the [43, T] VMEM ref (unrolled mode) or a loaded
+    [43, CHUNK] register chunk (chunked mode); j is always static.
     Returns (t, u, v, ok_geo) where ok_geo excludes the t-range test.
+    Degenerate/padding triangles have all-zero rows -> d'_z = 0 -> ok False.
     """
-    v0x, v0y, v0z = tri[_TV + 0, j], tri[_TV + 1, j], tri[_TV + 2, j]
-    e1x, e1y, e1z = tri[_TV + 3, j], tri[_TV + 4, j], tri[_TV + 5, j]
-    e2x, e2y, e2z = tri[_TV + 6, j], tri[_TV + 7, j], tri[_TV + 8, j]
-    px = rdy * e2z - rdz * e2y
-    py = rdz * e2x - rdx * e2z
-    pz = rdx * e2y - rdy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tx = rox - v0x
-    ty = roy - v0y
-    tz = roz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    ok = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    b0, b1, b2 = tri[_TW + 0, j], tri[_TW + 1, j], tri[_TW + 2, j]
+    b3, b4, b5 = tri[_TW + 3, j], tri[_TW + 4, j], tri[_TW + 5, j]
+    b6, b7, b8 = tri[_TW + 6, j], tri[_TW + 7, j], tri[_TW + 8, j]
+    c0, c1, c2 = tri[_TW + 9, j], tri[_TW + 10, j], tri[_TW + 11, j]
+    dpz = b6 * rdx + b7 * rdy + b8 * rdz
+    opz = b6 * rox + b7 * roy + b8 * roz + c2
+    good = jnp.abs(dpz) > 1e-12
+    inv = jnp.where(good, 1.0 / jnp.where(good, dpz, 1.0), 0.0)
+    t = -opz * inv
+    u = (b0 * rox + b1 * roy + b2 * roz + c0) + t * (
+        b0 * rdx + b1 * rdy + b2 * rdz
+    )
+    v = (b3 * rox + b4 * roy + b5 * roz + c1) + t * (
+        b3 * rdx + b4 * rdy + b5 * rdz
+    )
+    ok = good & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
     return t, u, v, ok
 
 
@@ -292,67 +297,100 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
         pix = m & _PIX_MASK
         exh = m & _EXH
 
-        # ---- Closest-hit sweep with inline winner-attribute selection ----
-        def hit_sweep(trs, count, carry):
-            """Sweep `count` (static) triangles of table/chunk `trs`."""
-            (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
-             b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
-             b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = carry
+        # ---- Phase 1: closest-hit sweep, winner index only ----
+        # Carrying just (t, u, v, j) through the sweep keeps 4 live vector
+        # registers instead of 23 winner attributes — the 23-carry version
+        # spilled to VMEM on every triangle iteration (Mosaic register
+        # pressure), dominating kernel time.
+        def hit_sweep(trs, count, base_f, carry):
+            best_t, bu, bv, bj = carry
             for j in range(count):
-                t, u, v, okg = _mt_tri(rox, roy, roz, rdx, rdy, rdz, trs, j)
+                t, u, v, okg = _woop_tri(rox, roy, roz, rdx, rdy, rdz, trs, j)
                 better = okg & (t > EPS) & (t < best_t)
                 best_t = jnp.where(better, t, best_t)
-                w0 = 1.0 - u - v
-                b_ngx = jnp.where(better, trs[_TNG + 0, j], b_ngx)
-                b_ngy = jnp.where(better, trs[_TNG + 1, j], b_ngy)
-                b_ngz = jnp.where(better, trs[_TNG + 2, j], b_ngz)
-                b_nsx = jnp.where(
-                    better,
-                    trs[_TNS + 0, j] * w0 + trs[_TNS + 3, j] * u
-                    + trs[_TNS + 6, j] * v,
-                    b_nsx,
-                )
-                b_nsy = jnp.where(
-                    better,
-                    trs[_TNS + 1, j] * w0 + trs[_TNS + 4, j] * u
-                    + trs[_TNS + 7, j] * v,
-                    b_nsy,
-                )
-                b_nsz = jnp.where(
-                    better,
-                    trs[_TNS + 2, j] * w0 + trs[_TNS + 5, j] * u
-                    + trs[_TNS + 8, j] * v,
-                    b_nsz,
-                )
-                b_emr = jnp.where(better, trs[_TEM + 0, j], b_emr)
-                b_emg = jnp.where(better, trs[_TEM + 1, j], b_emg)
-                b_emb = jnp.where(better, trs[_TEM + 2, j], b_emb)
-                b_pa = jnp.where(better, trs[_TPA, j], b_pa)
-                b_alr = jnp.where(better, trs[_TAL + 0, j], b_alr)
-                b_alg = jnp.where(better, trs[_TAL + 1, j], b_alg)
-                b_alb = jnp.where(better, trs[_TAL + 2, j], b_alb)
-                if multi:
-                    b_ty = jnp.where(better, trs[_TTY, j], b_ty)
-                if has_rc:
-                    b_alp = jnp.where(better, trs[_TALP, j], b_alp)
-                if has_cond or has_diel or has_rc:
-                    b_eta = jnp.where(better, trs[_TETA, j], b_eta)
-                if has_cond or has_diel or has_rc:
-                    b_sr = jnp.where(better, trs[_TSP + 0, j], b_sr)
-                    b_sg = jnp.where(better, trs[_TSP + 1, j], b_sg)
-                    b_sb = jnp.where(better, trs[_TSP + 2, j], b_sb)
-                if has_cond or has_rc:
-                    b_kr = jnp.where(better, trs[_TK + 0, j], b_kr)
-                    b_kg = jnp.where(better, trs[_TK + 1, j], b_kg)
-                    b_kb = jnp.where(better, trs[_TK + 2, j], b_kb)
-            return (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
-                    b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
-                    b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb)
+                bu = jnp.where(better, u, bu)
+                bv = jnp.where(better, v, bv)
+                bj = jnp.where(better, base_f + float(j), bj)
+            return best_t, bu, bv, bj
 
         zeros = jnp.zeros_like(rox)
         ones = jnp.ones_like(rox)
-        carry0 = (
-            jnp.full_like(rox, INF),  # best_t
+        carry0 = (jnp.full_like(rox, INF), zeros, zeros,
+                  jnp.full_like(rox, -1.0))
+        if chunked:
+            for i, v in enumerate(carry0):
+                scr[i] = v
+
+            def hit_chunk(c, _):
+                off = pl.multiple_of(c * CHUNK, CHUNK)
+                ch = tri[:, pl.ds(off, CHUNK)]
+                base_f = (c * CHUNK).astype(jnp.float32)
+                new = hit_sweep(ch, CHUNK, base_f,
+                                tuple(scr[i] for i in range(4)))
+                for i in range(4):
+                    scr[i] = new[i]
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, hit_chunk, 0)
+            best_t, bu, bv, bj = (scr[i] for i in range(4))
+        else:
+            best_t, bu, bv, bj = hit_sweep(tri, n_tris, 0.0, carry0)
+
+        # ---- Phase 2: gather the winner's attributes by index match ----
+        def attr_sweep(trs, count, bj_local, carry):
+            """Select attributes where the (rebased) winner index equals j."""
+            (b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+             b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
+             b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = carry
+            w0 = 1.0 - bu - bv
+            for j in range(count):
+                m = bj_local == float(j)
+                b_ngx = jnp.where(m, trs[_TNG + 0, j], b_ngx)
+                b_ngy = jnp.where(m, trs[_TNG + 1, j], b_ngy)
+                b_ngz = jnp.where(m, trs[_TNG + 2, j], b_ngz)
+                b_nsx = jnp.where(
+                    m,
+                    trs[_TNS + 0, j] * w0 + trs[_TNS + 3, j] * bu
+                    + trs[_TNS + 6, j] * bv,
+                    b_nsx,
+                )
+                b_nsy = jnp.where(
+                    m,
+                    trs[_TNS + 1, j] * w0 + trs[_TNS + 4, j] * bu
+                    + trs[_TNS + 7, j] * bv,
+                    b_nsy,
+                )
+                b_nsz = jnp.where(
+                    m,
+                    trs[_TNS + 2, j] * w0 + trs[_TNS + 5, j] * bu
+                    + trs[_TNS + 8, j] * bv,
+                    b_nsz,
+                )
+                b_emr = jnp.where(m, trs[_TEM + 0, j], b_emr)
+                b_emg = jnp.where(m, trs[_TEM + 1, j], b_emg)
+                b_emb = jnp.where(m, trs[_TEM + 2, j], b_emb)
+                b_pa = jnp.where(m, trs[_TPA, j], b_pa)
+                b_alr = jnp.where(m, trs[_TAL + 0, j], b_alr)
+                b_alg = jnp.where(m, trs[_TAL + 1, j], b_alg)
+                b_alb = jnp.where(m, trs[_TAL + 2, j], b_alb)
+                if multi:
+                    b_ty = jnp.where(m, trs[_TTY, j], b_ty)
+                if has_rc:
+                    b_alp = jnp.where(m, trs[_TALP, j], b_alp)
+                if has_cond or has_diel or has_rc:
+                    b_eta = jnp.where(m, trs[_TETA, j], b_eta)
+                    b_sr = jnp.where(m, trs[_TSP + 0, j], b_sr)
+                    b_sg = jnp.where(m, trs[_TSP + 1, j], b_sg)
+                    b_sb = jnp.where(m, trs[_TSP + 2, j], b_sb)
+                if has_cond or has_rc:
+                    b_kr = jnp.where(m, trs[_TK + 0, j], b_kr)
+                    b_kg = jnp.where(m, trs[_TK + 1, j], b_kg)
+                    b_kb = jnp.where(m, trs[_TK + 2, j], b_kb)
+            return (b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+                    b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
+                    b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb)
+
+        attrs0 = (
             zeros, zeros, ones,       # ng
             zeros, zeros, ones,       # ns
             zeros, zeros, zeros,      # em
@@ -364,27 +402,28 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             zeros, zeros, zeros,      # k
             ones, ones, ones,         # specular
         )
-        n_carry = len(carry0)
+        n_attr = len(attrs0)
         if chunked:
-            for i, v in enumerate(carry0):
-                scr[i] = v
+            for i, v in enumerate(attrs0):
+                scr[i + 4] = v
 
-            def hit_chunk(c, _):
+            def attr_chunk(c, _):
                 off = pl.multiple_of(c * CHUNK, CHUNK)
                 ch = tri[:, pl.ds(off, CHUNK)]
-                new = hit_sweep(ch, CHUNK,
-                                tuple(scr[i] for i in range(n_carry)))
-                for i in range(n_carry):
-                    scr[i] = new[i]
+                bj_local = bj - (c * CHUNK).astype(jnp.float32)
+                new = attr_sweep(ch, CHUNK, bj_local,
+                                 tuple(scr[i + 4] for i in range(n_attr)))
+                for i in range(n_attr):
+                    scr[i + 4] = new[i]
                 return 0
 
-            jax.lax.fori_loop(0, n_chunks, hit_chunk, 0)
-            carry = tuple(scr[i] for i in range(n_carry))
+            jax.lax.fori_loop(0, n_chunks, attr_chunk, 0)
+            attrs = tuple(scr[i + 4] for i in range(n_attr))
         else:
-            carry = hit_sweep(tri, n_tris, carry0)
-        (best_t, b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
+            attrs = attr_sweep(tri, n_tris, bj, attrs0)
+        (b_ngx, b_ngy, b_ngz, b_nsx, b_nsy, b_nsz,
          b_emr, b_emg, b_emb, b_pa, b_alr, b_alg, b_alb,
-         b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = carry
+         b_ty, b_alp, b_eta, b_kr, b_kg, b_kb, b_sr, b_sg, b_sb) = attrs
 
         hit_valid = best_t < INF
         t_safe = jnp.where(hit_valid, best_t, 0.0)
@@ -550,22 +589,23 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 
         def occ_sweep(trs, count, occ):
             for j in range(count):
-                t, _, _, okg = _mt_tri(shx, shy, shz, ldx, ldy, ldz, trs, j)
+                t, _, _, okg = _woop_tri(shx, shy, shz, ldx, ldy, ldz, trs, j)
                 occ = occ | (okg & (t > EPS) & (t < t_lim))
             return occ
 
         if chunked:
-            scr[23] = jnp.zeros_like(rox)
+            # Phases 1/2 are done; reuse scratch slot 0 for the mask.
+            scr[0] = jnp.zeros_like(rox)
 
             def occ_chunk(c, _):
                 off = pl.multiple_of(c * CHUNK, CHUNK)
                 o = occ_sweep(tri[:, pl.ds(off, CHUNK)], CHUNK,
-                              scr[23] > 0.0)
-                scr[23] = jnp.where(o, 1.0, 0.0)
+                              scr[0] > 0.0)
+                scr[0] = jnp.where(o, 1.0, 0.0)
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, occ_chunk, 0)
-            occ = scr[23] > 0.0
+            occ = scr[0] > 0.0
         else:
             occ = occ_sweep(tri, n_tris, jnp.zeros_like(alive))
 
@@ -749,7 +789,7 @@ def bounce(state, meta, rand, tri_rows, em_rows, env_row,
     rt = RT_CHUNKED if chunked else RT
     assert r % rt == 0, (r, rt)
     grid = (r // rt,)
-    scratch = [pltpu.VMEM((24, rt, 128), jnp.float32)] if chunked else []
+    scratch = [pltpu.VMEM((26, rt, 128), jnp.float32)] if chunked else []
     return pl.pallas_call(
         _bounce_kernel(n_tris, n_cols, n_em, max_depth, rr_depth,
                        tuple(types)),
@@ -799,9 +839,21 @@ def build_tables(scene):
     """
     t = scene.tri_v0.shape[0]
     tri = jnp.zeros((TRI_ROWS, t))
-    tri = tri.at[_TV + 0:_TV + 3].set(scene.tri_v0.T)
-    tri = tri.at[_TV + 3:_TV + 6].set(scene.tri_e1.T)
-    tri = tri.at[_TV + 6:_TV + 9].set(scene.tri_e2.T)
+    # Woop precompute: A = [e1 e2 n] (columns), B = A^-1, c = -B v0.
+    # Runs under jit (scene may be traced), so stays in jnp; XLA constant-
+    # folds it when the scene is concrete.
+    v0 = scene.tri_v0.astype(jnp.float32)
+    e1 = scene.tri_e1.astype(jnp.float32)
+    e2 = scene.tri_e2.astype(jnp.float32)
+    n = jnp.cross(e1, e2)
+    a = jnp.stack([e1, e2, n], axis=-1)  # [T, 3, 3]
+    det = jnp.linalg.det(a)
+    ok = jnp.abs(det) > 1e-24
+    a_safe = jnp.where(ok[:, None, None], a, jnp.eye(3)[None])
+    b = jnp.where(ok[:, None, None], jnp.linalg.inv(a_safe), 0.0)
+    c = jnp.where(ok[:, None], -jnp.einsum("tij,tj->ti", b, v0), 0.0)
+    tri = tri.at[_TW + 0:_TW + 9].set(b.reshape(t, 9).T)
+    tri = tri.at[_TW + 9:_TW + 12].set(c.T)
     tri = tri.at[_TNG:_TNG + 3].set(scene.tri_ng.T)
     ns = scene.tri_ns.reshape(t, 9).T  # n0.xyz n1.xyz n2.xyz
     tri = tri.at[_TNS:_TNS + 9].set(ns)

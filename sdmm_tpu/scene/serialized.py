@@ -27,6 +27,9 @@ def load_serialized(path: str, shape_index: int = 0) -> dict:
     Returns dict(positions [V,3], normals [V,3] | None, uv [V,2] | None,
     faces [F,3], face_normals bool).
     """
+    from .shapes import check_lfs_stub
+
+    check_lfs_stub(path)
     buf = open(path, "rb").read()
     fmt, version = struct.unpack_from("<hh", buf, 0)
     if fmt != 0x041C:

@@ -353,6 +353,22 @@ def mesh_to_soup(
     return soup
 
 
+def check_lfs_stub(path: str) -> None:
+    """Raise a clear error for git-lfs pointer stubs — the reference
+    checkout stores large meshes/images via LFS and many are not
+    materialized (SURVEY.md §7 'Reading LFS assets')."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(40)
+    except OSError:
+        return
+    if head.startswith(b"version https://git-lfs"):
+        raise ValueError(
+            f"{path}: git-lfs pointer stub, not the actual asset "
+            "(the reference checkout lacks this LFS blob)"
+        )
+
+
 def load_obj(
     path: str, to_world: np.ndarray | None = None, flip_normals: bool = False,
     face_normals: bool = False,
@@ -367,6 +383,7 @@ def load_obj(
     """
     from ..native import obj_load_native
 
+    check_lfs_stub(path)
     nat = None if os.environ.get("SDMM_TPU_NO_NATIVE") else obj_load_native(path)
     if nat is not None:
         v_t, n_t, uv_t = nat
