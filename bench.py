@@ -47,9 +47,12 @@ def main():
     cfg.rr_depth = 10
 
     n_lanes = 1 << 17
-    spp = 12
+    spp = 48
 
-    from sdmm_tpu.render.wavefront import fused_supported, render_pool_fused
+    from sdmm_tpu.render.wavefront import (
+        fused_supported,
+        render_pool_fused_striped,
+    )
 
     use_fused = (
         jax.default_backend() not in ("cpu",)
@@ -79,8 +82,10 @@ def main():
 
     def run(seed):
         if use_fused:
-            return render_pool_fused(
-                scene, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
+            # Pixel-stationary lanes: film updates are dense per-lane adds
+            # (the global-counter pool's film scatter was 75% of step time).
+            return render_pool_fused_striped(
+                scene, jax.random.PRNGKey(seed), spp=spp,
                 width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
                 rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
                 bsdf_types=tuple(cfg.bsdf_types),
@@ -92,20 +97,23 @@ def main():
             bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
         )
 
-    # Warmup/compile.
-    out = run(0)
-    jax.block_until_ready(out["image"])
+    # Warmup/compile. A VALUE fetch (not block_until_ready) is required:
+    # through the axon relay block_until_ready can return before the
+    # program has actually compiled+run, and the first value fetch then
+    # absorbs a minutes-long lazy Mosaic compile.
+    for w in range(2):
+        float(run(w)["n_vertices"])
 
-    iters = 4
-    t0 = time.perf_counter()
-    total_vertices = 0.0
-    for i in range(1, iters + 1):
-        out = run(i)
-        total_vertices += float(out["n_vertices"])
-    jax.block_until_ready(out["image"])
-    t1 = time.perf_counter()
-    dt = t1 - t0
-    rays_per_s = total_vertices / dt
+    # Median of per-iteration throughput: robust to one relay hiccup
+    # (observed: a single iteration absorbing a deferred recompile).
+    rates = []
+    for i in range(2, 7):
+        t0 = time.perf_counter()
+        nv = float(run(i)["n_vertices"])
+        dt = time.perf_counter() - t0
+        rates.append(nv / dt)
+    rates.sort()
+    rays_per_s = rates[len(rates) // 2]
 
     print(
         json.dumps(

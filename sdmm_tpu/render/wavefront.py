@@ -445,13 +445,8 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
     # XLA pool instead.
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu and fused_supported(scene, cfg, nee):
-        from ..ops import bounce_pallas as bp
-
-        tile = bp.RT * 128
-        lanes = min(n_lanes, cfg.width * cfg.height * spp)
-        lanes = max(tile, (lanes // tile) * tile)
-        out = render_pool_fused(
-            scene, jax.random.PRNGKey(seed), n_lanes=lanes, spp=spp,
+        out = render_pool_fused_striped(
+            scene, jax.random.PRNGKey(seed), spp=spp,
             width=cfg.width, height=cfg.height,
             max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
             fov_axis=cfg.fov_axis, bsdf_types=tuple(cfg.bsdf_types),
@@ -476,4 +471,130 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
         "raw": image.reshape(cfg.height, cfg.width, 3),
         "n_vertices": int(out["n_vertices"]),
         "steps": int(out["steps"]),
+    }
+
+
+@partial(jax.jit, static_argnames=(
+    "spp", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "bsdf_types", "interpret",
+))
+def render_pool_fused_striped(
+    scene,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
+    interpret: bool = False,
+):
+    """Pixel-stationary megakernel pool: lane i owns pixel i.
+
+    The global-counter pool's film scatter costs ~2 ms/step on TPU
+    (XLA scatter is ~14 ns/row serially; profiled 75% of the whole
+    step once the bounce itself became a 0.2 ms megakernel). Binding
+    each lane to one pixel makes the film update a DENSE per-lane add —
+    no scatter, no regeneration cumsum, no global counter — at the cost
+    of a static per-lane budget (spp samples): the wave drains until the
+    slowest lane finishes, a measured ~1.8-2.1x occupancy tail. Dense
+    adds win as long as the per-step body is scatter-dominated, which
+    is exactly the fused-megakernel regime.
+
+    Returns the same dict as render_pool_fused.
+    """
+    from ..ops import bounce_pallas as bp
+
+    n_pix = width * height
+    tile = bp.RT * 128
+    n_lanes = ((n_pix + tile - 1) // tile) * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    in_image = lane < n_pix
+    px_base = (lane % width).astype(jnp.float32)
+    py_base = (lane // width).astype(jnp.float32)
+
+    # meta reuses the pix field (bits 0..19) as the per-lane sample count.
+    def cond(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_bounce = jax.random.split(k, 2)
+
+        st = c["state"]  # [16, N]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        count = meta & _PIX_MASK
+
+        # --- Regenerate dead lanes on their own pixel ---
+        need = ~alive & ~exhausted
+        start = need & (count < spp) & in_image
+        exhausted = exhausted | (need & ~start)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        ro_n, rd_n = generate_rays(
+            scene,
+            jnp.stack([px_base + u[:, 0], py_base + u[:, 1]], axis=-1),
+            width, height, fov_axis,
+        )
+        count = jnp.where(start, count + 1, count)
+        fresh = jnp.concatenate([
+            ro_n.T, rd_n.T, jnp.ones((3, n_lanes)), jnp.zeros((3, n_lanes)),
+            jnp.ones((2, n_lanes)), jnp.zeros((2, n_lanes)),
+        ], axis=0)
+        st = jnp.where(start[None, :], fresh, st)
+        meta = (
+            count
+            | jnp.where(alive | start, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(start, _PDELTA, meta & _PDELTA)
+            | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+        )
+
+        rand = jax.random.uniform(k_bounce, (bp.RAND_ROWS, r_rows, 128))
+        nstate, nmeta, splat = bp.bounce(
+            st.reshape(16, r_rows, 128),
+            meta.reshape(r_rows, 128),
+            rand,
+            tri_rows, em_rows, env_row,
+            n_tris=n_tris, n_em=n_em,
+            max_depth=max_depth, rr_depth=rr_depth,
+            types=bsdf_types, interpret=interpret,
+        )
+        c["state"] = nstate.reshape(16, n_lanes)
+        c["meta"] = nmeta.reshape(n_lanes)
+
+        sp = splat.reshape(8, n_lanes)
+        c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+        # Dense per-lane accumulation — lane == pixel, no scatter.
+        c["film"] = c["film"] + sp[0:7].T
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_lanes, 7)),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)
+        .at[_THR].set(1.0)
+        .at[_ETA2].set(1.0)
+        .at[_PPDF].set(1.0),
+        "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    film = out["film"][:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
     }

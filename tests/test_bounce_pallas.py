@@ -249,3 +249,23 @@ def test_fused_gate_admits_chunked_scene():
     assert wf.fused_supported(scene, cfg)
     tri, _, _ = bp.build_tables(scene)
     assert tri.shape[1] % bp.CHUNK == 0
+
+
+def test_fused_striped_matches_pool():
+    """Pixel-stationary fused pool (dense film adds, no scatter) must
+    agree with the global-counter pool in mean and land exactly spp
+    samples on every pixel."""
+    scene, cfg = make_box_scene(16, 16).build()
+    spp = 64
+    out = wf.render_pool_fused_striped(
+        scene, jax.random.PRNGKey(3), spp=spp,
+        width=cfg.width, height=cfg.height, max_depth=6, rr_depth=6,
+        fov_axis=cfg.fov_axis, interpret=True,
+    )
+    w = np.asarray(out["weight"])
+    assert (w == spp).all()
+    img_s = np.asarray(out["image"]) / spp
+
+    img_p, _ = _render(scene, cfg, fused=False, spp=spp)
+    m_s, m_p = img_s.mean(), img_p.mean()
+    assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
