@@ -265,7 +265,7 @@ def _vndf_pdf(wix, wiy, wiz, mx, my, mz, alpha):
 
 
 def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
-                   rr_depth: int, types: tuple):
+                   rr_depth: int, types: tuple, tile_skip: bool = False):
     chunked = n_tris > MAX_UNROLL_TRIS
     n_chunks = n_cols // CHUNK if chunked else 0
     multi = any(t != T_DIFFUSE for t in types)
@@ -274,8 +274,30 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
     has_rc = T_ROUGHCONDUCTOR in types
     has_diff = T_DIFFUSE in types
 
-    def kernel(state_ref, meta_ref, rand_ref, tri_ref, em_ref, env_ref,
-               nstate_ref, nmeta_ref, splat_ref, *maybe_scr):
+    def kernel(*refs):
+        if tile_skip:
+            # Whole-tile skip: the striped pool's drain tail leaves entire
+            # lane tiles dead-and-exhausted; those tiles pass through
+            # (state copy, zero splat) at DMA cost only — no sweep.
+            alive_ref, refs = refs[0], refs[1:]
+            state_ref, meta_ref = refs[0], refs[1]
+            nstate_ref, nmeta_ref, splat_ref = refs[6], refs[7], refs[8]
+            flag = alive_ref[pl.program_id(0)]
+
+            @pl.when(flag == 0)
+            def _passthrough():
+                nstate_ref[...] = state_ref[...]
+                nmeta_ref[...] = meta_ref[...]
+                splat_ref[...] = jnp.zeros_like(splat_ref)
+
+            @pl.when(flag != 0)
+            def _run():
+                _bounce_body(*refs)
+        else:
+            _bounce_body(*refs)
+
+    def _bounce_body(state_ref, meta_ref, rand_ref, tri_ref, em_ref, env_ref,
+                     nstate_ref, nmeta_ref, splat_ref, *maybe_scr):
         # Chunked mode carries the sweep state in VMEM scratch rather than
         # as lax.fori_loop iter_args: Mosaic cannot legalize scf.for with
         # two dozen large vector loop-carried values.
@@ -772,12 +794,17 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 ))
 def bounce(state, meta, rand, tri_rows, em_rows, env_row,
            n_tris: int, n_em: int, max_depth: int, rr_depth: int,
-           types: tuple = (T_DIFFUSE,), interpret: bool = False):
+           types: tuple = (T_DIFFUSE,), interpret: bool = False,
+           tile_alive=None):
     """One bounce for all lanes.
 
     state [16, R, 128] f32, meta [R, 128] i32, rand [8, R, 128] f32,
     tri_rows [40, T] f32, em_rows [18, E] f32, env_row [1, 128] f32.
     R must be a multiple of RT. Returns (new_state, new_meta, splat[8,R,128]).
+
+    tile_alive (optional [R // RT] i32): whole-tile skip flags — a 0 tile
+    passes its state through untouched with a zero splat at DMA cost
+    (drain-tail optimization for the striped pool).
     """
     r = state.shape[1]
     assert n_tris <= MAX_TRIS
@@ -790,12 +817,17 @@ def bounce(state, meta, rand, tri_rows, em_rows, env_row,
     assert r % rt == 0, (r, rt)
     grid = (r // rt,)
     scratch = [pltpu.VMEM((26, rt, 128), jnp.float32)] if chunked else []
+    tile_skip = tile_alive is not None
+    skip_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] if tile_skip else []
+    )
+    skip_args = (tile_alive.astype(jnp.int32),) if tile_skip else ()
     return pl.pallas_call(
         _bounce_kernel(n_tris, n_cols, n_em, max_depth, rr_depth,
-                       tuple(types)),
+                       tuple(types), tile_skip=tile_skip),
         grid=grid,
         scratch_shapes=scratch,
-        in_specs=[
+        in_specs=skip_specs + [
             pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -818,7 +850,7 @@ def bounce(state, meta, rand, tri_rows, em_rows, env_row,
             jax.ShapeDtypeStruct((8, r, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(state, meta, rand, tri_rows, em_rows, env_row)
+    )(*skip_args, state, meta, rand, tri_rows, em_rows, env_row)
 
 
 # Backward-compatible alias (diffuse-only call sites).

@@ -60,7 +60,7 @@ _DEPTH_MASK = 0xF
 
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth", "nee",
-    "bsdf_types", "fov_axis", "has_bump",
+    "bsdf_types", "fov_axis", "has_bump", "has_sss",
 ))
 def render_pool(
     scene,
@@ -75,6 +75,7 @@ def render_pool(
     bsdf_types: tuple | None = None,
     fov_axis: str = "x",
     has_bump: bool = False,
+    has_sss: bool = False,
 ):
     """Render width×height at spp with a regenerating lane pool.
 
@@ -169,6 +170,13 @@ def render_pool(
 
         on_surface = alive & hit["valid"]
         c["n_vert"] = c["n_vert"] + jnp.sum(on_surface).astype(jnp.float32)
+
+        if has_sss:
+            from .subsurface import sss_lo_factor
+
+            li = li + jnp.where(
+                alive[:, None], thr * sss_lo_factor(scene, it, -rd), 0.0
+            )
 
         params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
@@ -305,6 +313,7 @@ def fused_supported(scene, cfg, nee: bool = True) -> bool:
         and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)
         and not cfg.has_bump
         and not cfg.has_medium
+        and not cfg.has_sss
         and scene.tri_v0.shape[0] <= bp.MAX_TRIS
         and 1 <= scene.em_tri_idx.shape[0] <= 64
         and scene.env_pdf.shape[0] <= 1
@@ -436,10 +445,472 @@ def render_pool_fused(
     }
 
 
+@partial(jax.jit, static_argnames=(
+    "spp", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "bsdf_types", "interpret",
+))
+def render_pool_fused_blocked(
+    scene,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
+    interpret: bool = False,
+):
+    """Striped megakernel pool with 2D-blocked tiles + whole-tile skip.
+
+    Two measured facts drive this design (PERF.md round-2): (1) the
+    pixel-stationary pool's occupancy is 0.23 because per-pixel mean path
+    length is heavy-tailed (max ~4x mean), and (2) shuffling pixels across
+    lanes barely helps — the tail is paid per-lane either way while the
+    kernel runs ALL tiles every step. So instead of fighting per-lane
+    variance, exploit its spatial correlation: map each kernel lane tile
+    to a compact 2D image block (slow pixels cluster — back wall vs
+    emitter), and pass a per-tile alive flag into the megakernel so a
+    fully-drained tile passes through at DMA cost with no sweep. The film
+    update stays a dense per-lane add.
+    """
+    from ..ops import bounce_pallas as bp
+
+    n_pix = width * height
+    chunked = scene.tri_v0.shape[0] > bp.MAX_UNROLL_TRIS
+    rt = bp.RT_CHUNKED if chunked else bp.RT
+    tile = rt * 128
+    bw, bh = 128, rt
+    gx = -(-width // bw)
+    gy = -(-height // bh)
+    n_tiles = gx * gy
+    n_lanes = n_tiles * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    assert spp <= _PIX_MASK
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    t_idx = lane // tile
+    o = lane % tile
+    x = (t_idx % gx) * bw + o % 128
+    y = (t_idx // gx) * bh + o // 128
+    in_image = (x < width) & (y < height)
+    pix_of_lane = jnp.where(in_image, y * width + x, 0)
+    px_base = x.astype(jnp.float32)
+    py_base = y.astype(jnp.float32)
+    budget = jnp.where(in_image, spp, 0)
+
+    # meta bits 0..19 hold the per-lane sample count.
+    def cond(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_bounce = jax.random.split(k, 2)
+
+        st = c["state"]  # [16, N]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        count = meta & _PIX_MASK
+
+        # --- Regenerate dead lanes on their own pixel ---
+        need = ~alive & ~exhausted
+        start = need & (count < budget)
+        exhausted = exhausted | (need & ~start)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        ro_n, rd_n = generate_rays(
+            scene,
+            jnp.stack([px_base + u[:, 0], py_base + u[:, 1]], axis=-1),
+            width, height, fov_axis,
+        )
+        count = jnp.where(start, count + 1, count)
+        fresh = jnp.concatenate([
+            ro_n.T, rd_n.T, jnp.ones((3, n_lanes)), jnp.zeros((3, n_lanes)),
+            jnp.ones((2, n_lanes)), jnp.zeros((2, n_lanes)),
+        ], axis=0)
+        st = jnp.where(start[None, :], fresh, st)
+        meta = (
+            count
+            | jnp.where(alive | start, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(start, _PDELTA, meta & _PDELTA)
+            | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+        )
+
+        live = (meta & _ALIVE) != 0
+        tile_alive = jnp.any(live.reshape(n_tiles, tile), axis=1)
+
+        rand = jax.random.uniform(k_bounce, (bp.RAND_ROWS, r_rows, 128))
+        nstate, nmeta, splat = bp.bounce(
+            st.reshape(16, r_rows, 128),
+            meta.reshape(r_rows, 128),
+            rand,
+            tri_rows, em_rows, env_row,
+            n_tris=n_tris, n_em=n_em,
+            max_depth=max_depth, rr_depth=rr_depth,
+            types=bsdf_types, interpret=interpret,
+            tile_alive=tile_alive,
+        )
+        c["state"] = nstate.reshape(16, n_lanes)
+        c["meta"] = nmeta.reshape(n_lanes)
+
+        sp = splat.reshape(8, n_lanes)
+        c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+        c["film"] = c["film"] + sp[0:7].T
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_lanes, 7)),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)
+        .at[_THR].set(1.0)
+        .at[_ETA2].set(1.0)
+        .at[_PPDF].set(1.0),
+        "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    film = jnp.zeros((n_pix + 1, 7)).at[
+        jnp.where(in_image, pix_of_lane, n_pix)
+    ].set(out["film"])[:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+    }
+
+
+@partial(jax.jit, static_argnames=(
+    "spp", "spp_pilot", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "bsdf_types", "interpret",
+))
+def render_pool_fused_sorted(
+    scene,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    spp_pilot: int = 8,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
+    interpret: bool = False,
+):
+    """Cost-sorted striped megakernel pool (pilot + balanced main pass).
+
+    The pixel-stationary pool's 0.23 occupancy comes from heavy-tailed
+    per-pixel mean path length (max ~4x mean): lanes bound to fast pixels
+    idle while slow pixels drain. Blocked tile-skip alone barely helps
+    because every 8192-pixel block contains some slow pixels. This driver
+    MEASURES the per-pixel cost instead of predicting it: a pilot pass
+    renders spp_pilot samples pixel-stationary while accumulating each
+    pixel's actual path-vertex count, then the remaining spp - spp_pilot
+    samples run with pixels argsorted by measured cost, so each kernel
+    tile holds equal-cost pixels. Fast tiles exhaust early and pass
+    through the megakernel at DMA cost (tile_alive skip); slow tiles stay
+    fully occupied to the end. Pilot samples count toward the image, so
+    the only overhead is the pilot's own occupancy tail.
+
+    Film stays a dense per-lane add in both phases (lane <-> pixel is a
+    bijection per phase); the two lane-space films are un-permuted and
+    summed once at the end.
+    """
+    from ..ops import bounce_pallas as bp
+
+    n_pix = width * height
+    chunked = scene.tri_v0.shape[0] > bp.MAX_UNROLL_TRIS
+    rt = bp.RT_CHUNKED if chunked else bp.RT
+    tile = rt * 128
+    n_tiles = -(-n_pix // tile)
+    n_lanes = n_tiles * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    assert 0 < spp_pilot < spp and spp <= _PIX_MASK
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    def run_phase(pix_of_lane, budget, phase_spp, k_phase):
+        """One regenerating pass: lane i renders pix_of_lane[i] for
+        phase_spp samples (budget masks out-of-image lanes). Returns
+        (film [n_lanes, 8], steps); film col 7 counts path vertices."""
+        px_base = (pix_of_lane % width).astype(jnp.float32)
+        py_base = (pix_of_lane // width).astype(jnp.float32)
+
+        def cond(c):
+            meta = c["meta"]
+            return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+        def body(c):
+            k = jax.random.fold_in(k_phase, c["step"])
+            k_regen, k_bounce = jax.random.split(k, 2)
+            st = c["state"]
+            meta = c["meta"]
+            alive = (meta & _ALIVE) != 0
+            exhausted = (meta & _EXH) != 0
+            count = meta & _PIX_MASK
+
+            need = ~alive & ~exhausted
+            start = need & (count < budget)
+            exhausted = exhausted | (need & ~start)
+            u = jax.random.uniform(k_regen, (n_lanes, 2))
+            ro_n, rd_n = generate_rays(
+                scene,
+                jnp.stack([px_base + u[:, 0], py_base + u[:, 1]], axis=-1),
+                width, height, fov_axis,
+            )
+            count = jnp.where(start, count + 1, count)
+            fresh = jnp.concatenate([
+                ro_n.T, rd_n.T, jnp.ones((3, n_lanes)),
+                jnp.zeros((3, n_lanes)),
+                jnp.ones((2, n_lanes)), jnp.zeros((2, n_lanes)),
+            ], axis=0)
+            st = jnp.where(start[None, :], fresh, st)
+            meta = (
+                count
+                | jnp.where(alive | start, _ALIVE, 0)
+                | jnp.where(exhausted, _EXH, 0)
+                | jnp.where(start, _PDELTA, meta & _PDELTA)
+                | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+            )
+            live = (meta & _ALIVE) != 0
+            tile_alive = jnp.any(live.reshape(n_tiles, tile), axis=1)
+            c["ats"] = c["ats"] + jnp.sum(tile_alive.astype(jnp.int32))
+
+            rand = jax.random.uniform(k_bounce, (bp.RAND_ROWS, r_rows, 128))
+            nstate, nmeta, splat = bp.bounce(
+                st.reshape(16, r_rows, 128),
+                meta.reshape(r_rows, 128),
+                rand,
+                tri_rows, em_rows, env_row,
+                n_tris=n_tris, n_em=n_em,
+                max_depth=max_depth, rr_depth=rr_depth,
+                types=bsdf_types, interpret=interpret,
+                tile_alive=tile_alive,
+            )
+            c["state"] = nstate.reshape(16, n_lanes)
+            c["meta"] = nmeta.reshape(n_lanes)
+            c["film"] = c["film"] + splat.reshape(8, n_lanes).T
+            c["step"] = c["step"] + 1
+            return c
+
+        init = {
+            "step": jnp.int32(0),
+            "ats": jnp.int32(0),  # alive-tile-steps (skip diagnostics)
+            "film": jnp.zeros((n_lanes, 8)),
+            "state": jnp.zeros((16, n_lanes))
+            .at[5].set(1.0)
+            .at[_THR].set(1.0)
+            .at[_ETA2].set(1.0)
+            .at[_PPDF].set(1.0),
+            "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        return out["film"], out["step"], out["ats"]
+
+    k_a, k_b = jax.random.split(key)
+    in_image = lane < n_pix
+    pix_a = jnp.where(in_image, lane, 0)
+    film_a, steps_a, ats_a = run_phase(
+        pix_a, jnp.where(in_image, spp_pilot, 0), spp_pilot, k_a
+    )
+
+    # Measured per-pixel cost -> equal-cost tiles for the main pass.
+    # Padding lanes carry cost -1 so they sort to the front and share one
+    # (skipped-early) tile.
+    cost = jnp.where(in_image, film_a[:, 7], -1.0)
+    order = jnp.argsort(cost).astype(jnp.int32)  # lane j -> pixel order[j]
+    pix_b = order
+    valid_b = cost[order] >= 0.0
+    film_b, steps_b, ats_b = run_phase(
+        jnp.where(valid_b, order, 0),
+        jnp.where(valid_b, spp - spp_pilot, 0),
+        spp - spp_pilot, k_b,
+    )
+
+    film = (
+        jnp.zeros((n_pix + 1, 8))
+        .at[jnp.where(in_image, pix_a, n_pix)].add(film_a)
+        .at[jnp.where(valid_b, pix_b, n_pix)].add(film_b)
+    )[:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": jnp.sum(film[:, 7]),
+        "steps": steps_a + steps_b,
+        "alive_tile_steps": ats_a + ats_b,
+        "total_tile_steps": (steps_a + steps_b) * n_tiles,
+    }
+
+
+@partial(jax.jit, static_argnames=(
+    "spp", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "bsdf_types", "groups", "interpret",
+))
+def render_pool_fused_shuffled(
+    scene,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
+    groups: int = 8,
+    interpret: bool = False,
+):
+    """Megakernel pool with shuffled multi-pixel lane ownership.
+
+    The pixel-stationary striped pool (below) removed the film scatter but
+    measured occupancy 0.23: its tail is per-pixel workload heterogeneity
+    (back-wall pixels average ~3x the path length of emitter pixels, and a
+    lane bound to one pixel drains spp x that pixel's mean path). Here lane
+    i owns `groups` pixels drawn by a random permutation of the image, one
+    slot at a time — the per-lane total work then averages over `groups`
+    i.i.d. pixels (plus spp paths each), shrinking the straggler tail by
+    ~sqrt(groups) while the film update stays DENSE: a [groups, n_lanes, 7]
+    accumulator updated with a slot-onehot add (no scatter; same film byte
+    traffic as the striped pool since groups * n_lanes ~= n_pix). The image
+    is assembled with one final scatter through the permutation.
+
+    Estimator identical to render_pool_fused: every pixel receives exactly
+    spp samples from exactly one (lane, slot).
+    """
+    from ..ops import bounce_pallas as bp
+
+    n_pix = width * height
+    chunked = scene.tri_v0.shape[0] > bp.MAX_UNROLL_TRIS
+    tile = (bp.RT_CHUNKED if chunked else bp.RT) * 128
+    n_lanes = -(-n_pix // (groups * tile)) * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    assert spp * groups <= _PIX_MASK
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    # Pixel assignment: slot c of lane i renders pixel perm[c*n_lanes + i].
+    # (lane, slot) pairs with c*n_lanes + i >= n_pix are unused; the
+    # per-lane budget below encodes exactly that bound.
+    perm = jax.random.permutation(jax.random.fold_in(key, 0x5bf), n_pix)
+    perm_padded = jnp.concatenate([
+        perm.astype(jnp.int32),
+        jnp.zeros((groups * n_lanes - n_pix,), jnp.int32),
+    ])
+    budget = spp * jnp.maximum(0, (n_pix - 1 - lane) // n_lanes + 1)
+
+    # meta bits 0..19 hold the per-lane sample counter s; slot = s // spp.
+    def cond(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_bounce = jax.random.split(k, 2)
+
+        st = c["state"]  # [16, N]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        s = meta & _PIX_MASK
+
+        # --- Regenerate dead lanes on their current slot's pixel ---
+        need = ~alive & ~exhausted
+        start = need & (s < budget)
+        exhausted = exhausted | (need & ~start)
+        slot = s // spp
+        pix_n = perm_padded[slot * n_lanes + lane]
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        px = (pix_n % width).astype(jnp.float32) + u[:, 0]
+        py = (pix_n // width).astype(jnp.float32) + u[:, 1]
+        ro_n, rd_n = generate_rays(
+            scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
+        )
+        s = jnp.where(start, s + 1, s)
+        fresh = jnp.concatenate([
+            ro_n.T, rd_n.T, jnp.ones((3, n_lanes)), jnp.zeros((3, n_lanes)),
+            jnp.ones((2, n_lanes)), jnp.zeros((2, n_lanes)),
+        ], axis=0)
+        st = jnp.where(start[None, :], fresh, st)
+        meta = (
+            s
+            | jnp.where(alive | start, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(start, _PDELTA, meta & _PDELTA)
+            | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+        )
+
+        rand = jax.random.uniform(k_bounce, (bp.RAND_ROWS, r_rows, 128))
+        nstate, nmeta, splat = bp.bounce(
+            st.reshape(16, r_rows, 128),
+            meta.reshape(r_rows, 128),
+            rand,
+            tri_rows, em_rows, env_row,
+            n_tris=n_tris, n_em=n_em,
+            max_depth=max_depth, rr_depth=rr_depth,
+            types=bsdf_types, interpret=interpret,
+        )
+        c["state"] = nstate.reshape(16, n_lanes)
+        c["meta"] = nmeta.reshape(n_lanes)
+
+        sp = splat.reshape(8, n_lanes)
+        c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+        # Dense slot-onehot film add: a terminated path's slot is
+        # (s-1)//spp (s was bumped at its regeneration and is untouched
+        # while the path is alive).
+        cur = jnp.maximum(s - 1, 0) // spp
+        oh = (jnp.arange(groups, dtype=jnp.int32)[:, None] == cur[None, :])
+        c["film"] = c["film"] + oh.astype(jnp.float32)[:, :, None] * sp[0:7].T[None]
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((groups, n_lanes, 7)),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)
+        .at[_THR].set(1.0)
+        .at[_ETA2].set(1.0)
+        .at[_PPDF].set(1.0),
+        "meta": jnp.full((n_lanes,), _PDELTA, jnp.int32),
+        "n_vert": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    # film[c, i] holds pixel perm[c*n_lanes + i]; un-permute once.
+    film_flat = out["film"].reshape(groups * n_lanes, 7)[:n_pix]
+    film = jnp.zeros((n_pix, 7)).at[perm].set(film_flat)
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+    }
+
+
 def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
                      n_lanes: int = 1 << 18, nee: bool = True):
     """Host-facing wrapper matching renderer.render's output dict."""
     import numpy as np
+
+    if cfg.has_sss and not cfg.sss_baked:
+        from .subsurface import bake_subsurface
+
+        scene = bake_subsurface(scene, cfg, seed=seed)
 
     # Interpret-mode Pallas is for tests; route real CPU renders to the
     # XLA pool instead.
@@ -458,7 +929,7 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
             spp=spp, width=cfg.width, height=cfg.height,
             max_depth=cfg.max_depth, rr_depth=cfg.rr_depth, nee=nee,
             bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
-            has_bump=cfg.has_bump,
+            has_bump=cfg.has_bump, has_sss=cfg.has_sss,
         )
     image = np.asarray(out["image"])
     weight = np.asarray(out["weight"])

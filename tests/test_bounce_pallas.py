@@ -251,6 +251,65 @@ def test_fused_gate_admits_chunked_scene():
     assert tri.shape[1] % bp.CHUNK == 0
 
 
+def test_fused_blocked_matches_pool():
+    """2D-blocked striped pool with whole-tile skip must agree with the
+    global-counter pool in mean and land exactly spp samples per pixel
+    (including partial edge blocks)."""
+    scene, cfg = make_box_scene(20, 18).build()
+    spp = 64
+    out = wf.render_pool_fused_blocked(
+        scene, jax.random.PRNGKey(3), spp=spp,
+        width=cfg.width, height=cfg.height, max_depth=6, rr_depth=6,
+        fov_axis=cfg.fov_axis, interpret=True,
+    )
+    w = np.asarray(out["weight"])
+    assert (w == spp).all()
+    img_s = np.asarray(out["image"]) / spp
+
+    img_p, _ = _render(scene, cfg, fused=False, spp=spp)
+    m_s, m_p = img_s.mean(), img_p.mean()
+    assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
+
+
+def test_fused_sorted_matches_pool():
+    """Pilot + cost-sorted main pass must land exactly spp samples per
+    pixel and agree with the global-counter pool in mean."""
+    scene, cfg = make_box_scene(20, 18).build()
+    spp = 64
+    out = wf.render_pool_fused_sorted(
+        scene, jax.random.PRNGKey(3), spp=spp, spp_pilot=16,
+        width=cfg.width, height=cfg.height, max_depth=6, rr_depth=6,
+        fov_axis=cfg.fov_axis, interpret=True,
+    )
+    w = np.asarray(out["weight"])
+    assert (w == spp).all()
+    img_s = np.asarray(out["image"]) / spp
+
+    img_p, _ = _render(scene, cfg, fused=False, spp=spp)
+    m_s, m_p = img_s.mean(), img_p.mean()
+    assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
+
+
+def test_fused_shuffled_matches_pool():
+    """Shuffled multi-slot fused pool (dense slot-onehot film adds) must
+    agree with the global-counter pool in mean and land exactly spp
+    samples on every pixel, including when n_lanes*groups > n_pix."""
+    scene, cfg = make_box_scene(16, 16).build()
+    spp = 64
+    out = wf.render_pool_fused_shuffled(
+        scene, jax.random.PRNGKey(3), spp=spp,
+        width=cfg.width, height=cfg.height, max_depth=6, rr_depth=6,
+        fov_axis=cfg.fov_axis, groups=4, interpret=True,
+    )
+    w = np.asarray(out["weight"])
+    assert (w == spp).all()
+    img_s = np.asarray(out["image"]) / spp
+
+    img_p, _ = _render(scene, cfg, fused=False, spp=spp)
+    m_s, m_p = img_s.mean(), img_p.mean()
+    assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
+
+
 def test_fused_striped_matches_pool():
     """Pixel-stationary fused pool (dense film adds, no scatter) must
     agree with the global-counter pool in mean and land exactly spp
