@@ -244,6 +244,8 @@ def surface_interaction(scene, ro, rd, hit):
         "emitter": jnp.where(hit["valid"], emitter, -1),
         "valid": hit["valid"],
         "t": hit["t"],
+        "u_bary": hit["u"],
+        "v_bary": hit["v"],
     }
 
 

@@ -39,6 +39,11 @@ def render(
     """
     from ..core.sampler import camera_jitter
 
+    if cfg.has_sss and not cfg.sss_baked:
+        from .subsurface import bake_subsurface
+
+        scene = bake_subsurface(scene, cfg, seed=seed)
+
     w, h = cfg.width, cfg.height
     n_pix = w * h
     image = jnp.zeros((n_pix, 3))
@@ -49,7 +54,7 @@ def render(
             scene, key, ro, rd, max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
             nee=nee, bsdf_types=cfg.bsdf_types or None,
             has_medium=cfg.has_medium, has_hetero=cfg.has_hetero,
-            has_bump=cfg.has_bump,
+            has_bump=cfg.has_bump, has_sss=cfg.has_sss,
         )
     )
 

@@ -57,7 +57,7 @@ def shading_frame(params, ns, wi_world):
     return s, t, n
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium", "has_hetero", "has_bump"))
+@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "nee", "count_vertices", "bsdf_types", "has_medium", "has_hetero", "has_bump", "has_sss"))
 def trace_wave(
     scene,
     key,
@@ -71,6 +71,7 @@ def trace_wave(
     has_medium: bool = False,
     has_hetero: bool = False,
     has_bump: bool = False,
+    has_sss: bool = False,
 ):
     """Trace a wave of rays; returns per-ray radiance [N, 3].
 
@@ -140,6 +141,17 @@ def trace_wave(
             (active & ~scattered & ~hit["valid"])[..., None],
             throughput * emitters.env_eval(scene, rd) * w_env[..., None], 0.0,
         )
+
+        # Dipole subsurface exitance: added like emission but never MIS'd
+        # (reference: SamplingIntegrator adds its.LoSub at each hit;
+        # render/subsurface.py).
+        if has_sss:
+            from .subsurface import sss_lo_factor
+
+            li = li + jnp.where(
+                (active & ~scattered)[..., None],
+                throughput * sss_lo_factor(scene, it, -rd), 0.0,
+            )
 
         on_surface = active & hit["valid"] & ~scattered
         active = active & (hit["valid"] | scattered)

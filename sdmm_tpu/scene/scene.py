@@ -163,6 +163,14 @@ class SceneData(NamedTuple):
     clas_hi: jnp.ndarray  # [C, 3]
     clas_rows: jnp.ndarray  # [C, 9*Tc]
     clas_ids: jnp.ndarray  # [C, Tc] original tri ids (-1 pad)
+    # Subsurface scattering (dipole BSSRDF; reference:
+    # src/subsurface/dipole.cpp). The irradiance-octree query becomes a
+    # preprocess bake of the dipole-convolved exitance onto triangle
+    # corners (render/subsurface.py); render-time lookup is a barycentric
+    # interpolation like shading normals.
+    tri_sss: jnp.ndarray  # [T] int32 subsurface id (-1 = none)
+    sss_eta: jnp.ndarray  # [S] relative IOR per subsurface instance
+    sss_M: jnp.ndarray  # [T, 3, 3] baked per-corner exitance (rgb)
 
 
 @dataclass
@@ -182,6 +190,9 @@ class RenderConfig:
     has_medium: bool = False  # compile-out flag for volumetric code
     has_hetero: bool = False  # any heterogeneous (grid-density) medium
     has_bump: bool = False  # compile-out flag for bump mapping
+    has_sss: bool = False  # any dipole subsurface instance
+    sss: tuple = ()  # host-side dipole bake parameter dicts
+    sss_baked: bool = False  # set by render/subsurface.bake_subsurface
 
 
 @dataclass
@@ -199,6 +210,7 @@ class SceneBuilder:
     env_map: np.ndarray | None = None  # [He, We, 3]
     env_to_world: np.ndarray = field(default_factory=lambda: np.eye(3))
     medium: dict | None = None  # ambient {"sigma_t": [3], "albedo": [3], "g": float}
+    subsurfaces: list = field(default_factory=list)  # dipole instances
     media: list = field(default_factory=list)  # per-shape medium rows
     cam_to_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     fov_deg: float = 45.0
@@ -312,13 +324,30 @@ class SceneBuilder:
         self.media.append(entry)
         return len(self.media)  # row 0 is vacuum
 
+    def add_subsurface(self, sigma_s, sigma_a, g=0.0, eta: float = 1.3,
+                       irr_samples: int = 16,
+                       sample_multiplier: float = 1.0,
+                       quality: float = 0.2) -> int:
+        """Register a dipole subsurface instance (reference:
+        src/subsurface/dipole.cpp IsotropicDipole ctor + configure)."""
+        self.subsurfaces.append({
+            "sigma_s": np.asarray(sigma_s, dtype=np.float64).reshape(3),
+            "sigma_a": np.asarray(sigma_a, dtype=np.float64).reshape(3),
+            "g": np.broadcast_to(np.asarray(g, dtype=np.float64), (3,)).copy(),
+            "eta": float(eta),
+            "irr_samples": int(irr_samples),
+            "sample_multiplier": float(sample_multiplier),
+            "quality": float(quality),
+        })
+        return len(self.subsurfaces) - 1
+
     def add_shape(self, soup: TriSoup, bsdf: int, emitter: int = -1,
                   interior: int = 0, exterior: int = -1,
-                  motion: tuple | None = None):
+                  motion: tuple | None = None, sss: int = -1):
         """exterior = -1 uses the ambient medium at build time.
         ``motion``: (M0, M1) keyframe toWorld matrices (geometry is baked
-        at M0)."""
-        self.soups.append((soup, bsdf, emitter, interior, exterior))
+        at M0). ``sss``: subsurface instance id from add_subsurface."""
+        self.soups.append((soup, bsdf, emitter, interior, exterior, sss))
         self.shape_motion.append(motion)
 
     def set_sensor(self, to_world: np.ndarray, fov_deg: float, width: int, height: int,
@@ -366,10 +395,12 @@ class SceneBuilder:
         motion_list = list(self.shape_motion) + [None] * (
             len(self.soups) - len(self.shape_motion)
         )
+        all_sss = []
         for entry, mot in zip(self.soups, motion_list):
             soup, bsdf_i, emitter_i = entry[0], entry[1], entry[2]
             interior_i = entry[3] if len(entry) > 3 else 0
             exterior_i = entry[4] if len(entry) > 4 else -1
+            sss_i = entry[5] if len(entry) > 5 else -1
             if exterior_i < 0:
                 exterior_i = ambient_id
             v, n, uv = soup.concat()
@@ -380,6 +411,7 @@ class SceneBuilder:
             all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
             all_mi.append(np.full(len(v), interior_i, dtype=np.int32))
             all_me.append(np.full(len(v), exterior_i, dtype=np.int32))
+            all_sss.append(np.full(len(v), sss_i, dtype=np.int32))
             if mot is not None:
                 mot_mats.append(mot)
                 all_mot.append(np.full(len(v), len(mot_mats) - 1, np.int32))
@@ -393,6 +425,7 @@ class SceneBuilder:
         tri_mot = np.concatenate(all_mot) if all_mot else np.zeros(0, np.int32)
         tri_medium = np.concatenate(all_mi) if all_mi else np.zeros(0, np.int32)
         tri_medium_ext = np.concatenate(all_me) if all_me else np.zeros(0, np.int32)
+        tri_sss = np.concatenate(all_sss) if all_sss else np.zeros(0, np.int32)
 
         v0 = verts[:, 0]
         e1 = verts[:, 1] - verts[:, 0]
@@ -439,6 +472,7 @@ class SceneBuilder:
             tri_medium_ext = np.concatenate(
                 [tri_medium_ext, np.full(pad, ambient_id, np.int32)]
             )
+            tri_sss = np.concatenate([tri_sss, np.full(pad, -1, np.int32)])
 
         if not self.bsdfs:
             self.add_bsdf(BSDF_DIFFUSE)
@@ -666,6 +700,10 @@ class SceneBuilder:
             tri_mot=i32(tri_mot),
             clas_lo=f32(clas["lo"]), clas_hi=f32(clas["hi"]),
             clas_rows=f32(clas["rows"]), clas_ids=i32(clas["ids"]),
+            tri_sss=i32(tri_sss),
+            sss_eta=f32([s["eta"] for s in self.subsurfaces]
+                        if self.subsurfaces else [1.0]),
+            sss_M=f32(np.zeros((len(tri_sss), 3, 3))),
         )
         cfg = RenderConfig(
             width=self.width, height=self.height, max_depth=self.max_depth,
@@ -674,5 +712,7 @@ class SceneBuilder:
             has_medium=self.medium is not None or len(self.media) > 0,
             has_hetero=any("density" in m for m in media_rows),
             has_bump=any(b.get("bump", -1) != -1 for b in self.bsdfs),
+            has_sss=bool(self.subsurfaces) and bool((tri_sss >= 0).any()),
+            sss=tuple(self.subsurfaces),
         )
         return data, cfg

@@ -640,7 +640,48 @@ class XMLLoader:
         bsdf_idx = None
         emitter_idx = -1
         interior_med = 0
+        sss_idx = -1
         for sub in el:
+            if sub.tag == "subsurface" and sub.get("type") == "dipole":
+                # Dipole BSSRDF (reference: src/subsurface/dipole.cpp;
+                # material presets from src/medium/materials.h).
+                sp = _props(sub, self.variables)
+                from ..render.subsurface import lookup_material
+
+                if "sigmaS" in sp or "sigmaA" in sp:
+                    sigma_s = np.asarray(sp.get("sigmaS", np.zeros(3))).reshape(-1)
+                    sigma_a = np.asarray(sp.get("sigmaA", np.zeros(3))).reshape(-1)
+                    sigma_s = np.broadcast_to(sigma_s, (3,)) if sigma_s.size != 3 else sigma_s
+                    sigma_a = np.broadcast_to(sigma_a, (3,)) if sigma_a.size != 3 else sigma_a
+                    eta_d = 1.3
+                elif "sigmaT" in sp or "albedo" in sp:
+                    sigma_t = np.broadcast_to(
+                        np.asarray(sp.get("sigmaT", np.ones(3))).reshape(-1), (3,)
+                    )
+                    alb = np.broadcast_to(
+                        np.asarray(sp.get("albedo", np.full(3, 0.8))).reshape(-1), (3,)
+                    )
+                    sigma_s = alb * sigma_t
+                    sigma_a = sigma_t - sigma_s
+                    eta_d = 1.3
+                else:
+                    sigma_s, sigma_a, eta_d = lookup_material(
+                        sp.get("material", "skin1")
+                    )
+                scale = float(sp.get("scale", 1.0))
+                int_ior = sp.get("intIOR", eta_d)
+                ext_ior = float(sp.get("extIOR", 1.0))
+                try:
+                    eta = float(int_ior) / max(ext_ior, 1e-6)
+                except (TypeError, ValueError):
+                    eta = eta_d
+                sss_idx = self.builder.add_subsurface(
+                    sigma_s * scale, sigma_a * scale, g=0.0, eta=eta,
+                    irr_samples=int(sp.get("irrSamples", 16)),
+                    sample_multiplier=float(sp.get("sampleMultiplier", 1.0)),
+                    quality=float(sp.get("quality", 0.2)),
+                )
+                continue
             if sub.tag == "ref":
                 ref_id = sub.get("id")
                 if ref_id in self.builder.bsdf_ids:
@@ -794,7 +835,7 @@ class XMLLoader:
         else:
             self.builder.add_shape(
                 soup, bsdf_idx, emitter_idx, interior=interior_med,
-                motion=motion,
+                motion=motion, sss=sss_idx,
             )
 
 
