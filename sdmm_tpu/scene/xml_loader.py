@@ -301,20 +301,49 @@ class XMLLoader:
                         # LFS-stub/unreadable asset → scaled constant.
                         self.builder.env_radiance = np.full(3, scale)
                 elif etype in ("sky", "sun", "sunsky"):
-                    # Preetham model baked to an envmap (scene/sunsky.py);
-                    # reference: src/emitters/{sun,sky,sunsky}.cpp.
-                    from .sunsky import make_sunsky_envmap
+                    # Hosek-Wilkie sky + Preetham sun baked to an envmap
+                    # (scene/sunsky.py); reference:
+                    # src/emitters/{sun,sky,sunsky}.cpp + sunsky/*.
+                    from .sunsky import (
+                        compute_sun_coordinates,
+                        make_sunsky_envmap,
+                        sun_coords_to_dir,
+                    )
 
                     scale = float(p.get("scale", 1.0))
                     turb = float(p.get("turbidity", 3.0))
-                    sd = p.get("sunDirection", np.array([0.3, 1.0, 0.3]))
-                    sd = np.asarray(sd, dtype=np.float64).reshape(-1)[:3]
+                    if "sunDirection" in p:
+                        sd = np.asarray(
+                            p["sunDirection"], dtype=np.float64
+                        ).reshape(-1)[:3]
+                    else:
+                        zen, az = compute_sun_coordinates(
+                            year=int(p.get("year", 2010)),
+                            month=int(p.get("month", 7)),
+                            day=int(p.get("day", 10)),
+                            hour=float(p.get("hour", 15.0)),
+                            minute=float(p.get("minute", 0.0)),
+                            second=float(p.get("second", 0.0)),
+                            timezone=float(p.get("timezone", 9.0)),
+                            latitude=float(p.get("latitude", 35.6894)),
+                            longitude=float(p.get("longitude", 139.6917)),
+                        )
+                        sd = sun_coords_to_dir(zen, az)
+                    alb = np.asarray(
+                        p.get("albedo", 0.15), dtype=np.float64
+                    ).reshape(-1)
+                    alb = alb if alb.size == 3 else np.full(3, float(alb[0]))
                     self.builder.env_map = make_sunsky_envmap(
                         sd, turbidity=turb,
+                        resolution=int(p.get("resolution", 256)),
                         with_sky=etype in ("sky", "sunsky"),
                         with_sun=etype in ("sun", "sunsky"),
                         sun_scale=float(p.get("sunScale", 1.0)),
                         sky_scale=float(p.get("skyScale", 1.0)),
+                        albedo=alb,
+                        stretch=float(p.get("stretch", 1.0)),
+                        sun_radius_scale=float(p.get("sunRadiusScale", 1.0)),
+                        extend=bool(p.get("extend", False)),
                     )
                     self.builder.env_radiance = np.full(3, scale)
 
