@@ -47,11 +47,11 @@ def main():
     cfg.rr_depth = 10
 
     n_lanes = 1 << 17
-    spp = 48
+    spp = 192  # GT-style throughput regime (reference GT runs use 1e5 spp)
 
     from sdmm_tpu.render.wavefront import (
         fused_supported,
-        render_pool_fused_striped,
+        render_pool_fused_sorted2,
     )
 
     use_fused = (
@@ -82,10 +82,11 @@ def main():
 
     def run(seed):
         if use_fused:
-            # Pixel-stationary lanes: film updates are dense per-lane adds
-            # (the global-counter pool's film scatter was 75% of step time).
-            return render_pool_fused_striped(
-                scene, jax.random.PRNGKey(seed), spp=spp,
+            # Pilot + cost-sorted pool over the fully-fused step kernel
+            # (regen + camera + PRNG + bounce + film in one pallas_call;
+            # equal-cost tiles drain together and skip at DMA cost).
+            return render_pool_fused_sorted2(
+                scene, jax.random.PRNGKey(seed), spp=spp, spp_pilot=8,
                 width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
                 rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
                 bsdf_types=tuple(cfg.bsdf_types),

@@ -12,7 +12,7 @@ from sdmm_tpu.utils.cache import enable
 enable()
 import jax
 
-from sdmm_tpu.render.wavefront import render_pool_fused_striped
+from sdmm_tpu.render.wavefront import render_pool_fused_sorted2
 from sdmm_tpu.scene.xml_loader import load_scene
 
 scene, cfg = load_scene(
@@ -21,8 +21,8 @@ scene, cfg = load_scene(
 ).build()
 cfg.max_depth = 10
 cfg.rr_depth = 10
-out = render_pool_fused_striped(
-    scene, jax.random.PRNGKey(0), spp=48,
+out = render_pool_fused_sorted2(
+    scene, jax.random.PRNGKey(0), spp=192, spp_pilot=8,
     width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
     rr_depth=cfg.rr_depth, fov_axis=cfg.fov_axis,
     bsdf_types=tuple(cfg.bsdf_types),

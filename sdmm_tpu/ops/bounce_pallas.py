@@ -298,21 +298,44 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 
     def _bounce_body(state_ref, meta_ref, rand_ref, tri_ref, em_ref, env_ref,
                      nstate_ref, nmeta_ref, splat_ref, *maybe_scr):
+        scr = maybe_scr[0] if chunked else None
+        sv = [state_ref[i] for i in range(14)]
+        rnd = [rand_ref[i] for i in range(7)]
+        ns, nm, sp = core(sv, meta_ref[:], rnd, tri_ref, em_ref, env_ref, scr)
+        for i in range(14):
+            nstate_ref[i] = ns[i]
+        nstate_ref[14] = jnp.zeros_like(ns[0])
+        nstate_ref[15] = jnp.zeros_like(ns[0])
+        nmeta_ref[:] = nm
+        for i in range(8):
+            splat_ref[i] = sp[i]
+
+    core = _make_core(n_tris, n_cols, n_em, max_depth, rr_depth, types)
+    return kernel
+
+
+def _make_core(n_tris: int, n_cols: int, n_em: int, max_depth: int,
+               rr_depth: int, types: tuple):
+    """The bounce physics as a pure register-value function: sv = 14 lane
+    state rows, m = meta, rand = 7 uniform rows; returns (14 next-state
+    rows, next meta, 8 splat rows). Shared by the plain bounce kernel and
+    the fused step kernel."""
+    chunked = n_tris > MAX_UNROLL_TRIS
+    n_chunks = n_cols // CHUNK if chunked else 0
+    multi = any(t != T_DIFFUSE for t in types)
+    has_cond = T_CONDUCTOR in types
+    has_diel = T_DIELECTRIC in types
+    has_rc = T_ROUGHCONDUCTOR in types
+
+    def _bounce_core(sv, m, rand, tri_ref, em_ref, env_ref, scr):
         # Chunked mode carries the sweep state in VMEM scratch rather than
         # as lax.fori_loop iter_args: Mosaic cannot legalize scf.for with
         # two dozen large vector loop-carried values.
-        scr = maybe_scr[0] if chunked else None
         tri = tri_ref  # scalar static reads only
         em = em_ref
 
-        rox, roy, roz = state_ref[0], state_ref[1], state_ref[2]
-        rdx, rdy, rdz = state_ref[3], state_ref[4], state_ref[5]
-        thr_r, thr_g, thr_b = state_ref[6], state_ref[7], state_ref[8]
-        li_r, li_g, li_b = state_ref[9], state_ref[10], state_ref[11]
-        eta2 = state_ref[12]
-        ppdf = state_ref[13]
-
-        m = meta_ref[:]
+        (rox, roy, roz, rdx, rdy, rdz, thr_r, thr_g, thr_b,
+         li_r, li_g, li_b, eta2, ppdf) = sv
         alive = (m & _ALIVE) != 0
         prev_delta = (m & _PDELTA) != 0
         depth0 = (m >> _DEPTH_SHIFT) & _DEPTH_MASK
@@ -510,10 +533,10 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             smooth = smooth | is_rc
 
         # ---- NEE: sample one emissive triangle by CDF ----
-        u1 = rand_ref[0]
-        su0 = jnp.sqrt(rand_ref[1])
+        u1 = rand[0]
+        su0 = jnp.sqrt(rand[1])
         bb0 = 1.0 - su0
-        bb1 = rand_ref[2] * su0
+        bb1 = rand[2] * su0
         e_yx, e_yy, e_yz = zeros, zeros, zeros
         e_nx, e_ny = zeros, zeros
         e_nz = ones
@@ -641,7 +664,7 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 
         # ---- BSDF sample (type-dispatched, statically specialized) ----
         # Diffuse: cosine hemisphere.
-        dxc, dyc = _disk_concentric(rand_ref[4], rand_ref[5])
+        dxc, dyc = _disk_concentric(rand[4], rand[5])
         dzc = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxc * dxc - dyc * dyc))
         wo_x, wo_y, wo_z = dxc, dyc, dzc
         pdf_s = dzc * INV_PI
@@ -667,7 +690,7 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 
         if has_diel:
             fr, cos_t, eta_it, eta_ti = _fresnel_dielectric(wi_z, b_eta)
-            refl = rand_ref[3] < fr
+            refl = rand[3] < fr
             # reflect: (-x, -y, z); refract: (-x*eta_ti, -y*eta_ti, cos_t).
             wo_dx = jnp.where(refl, -wi_x, -wi_x * eta_ti)
             wo_dy = jnp.where(refl, -wi_y, -wi_y * eta_ti)
@@ -691,7 +714,7 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
 
         if has_rc:
             mx, my, mz = _sample_vndf(wi_x, wi_y, wi_z, b_alp,
-                                      rand_ref[4], rand_ref[5])
+                                      rand[4], rand[5])
             widm = _dot3(wi_x, wi_y, wi_z, mx, my, mz)
             wo_rx = 2.0 * widm * mx - wi_x
             wo_ry = 2.0 * widm * my - wi_y
@@ -733,7 +756,7 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             jnp.maximum(jnp.maximum(thr_nr, thr_ng), thr_nb) * eta2_n, 0.95
         )
         do_rr = (depth + 1) >= rr_depth
-        u_rr = rand_ref[6]
+        u_rr = rand[6]
         survive = survive & ~(do_rr & (u_rr >= q))
         rr_boost = jnp.where(
             do_rr & survive, 1.0 / jnp.maximum(q, 1e-6), 1.0
@@ -748,45 +771,233 @@ def _bounce_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
         ls_r = jnp.where(jnp.isfinite(li_r), li_r, 0.0) * df
         ls_g = jnp.where(jnp.isfinite(li_g), li_g, 0.0) * df
         ls_b = jnp.where(jnp.isfinite(li_b), li_b, 0.0) * df
-        splat_ref[0] = ls_r
-        splat_ref[1] = ls_g
-        splat_ref[2] = ls_b
-        splat_ref[3] = ls_r * ls_r
-        splat_ref[4] = ls_g * ls_g
-        splat_ref[5] = ls_b * ls_b
-        splat_ref[6] = df
-        splat_ref[7] = jnp.where(on_surface, 1.0, 0.0)
+        splat = [ls_r, ls_g, ls_b, ls_r * ls_r, ls_g * ls_g,
+                 ls_b * ls_b, df, jnp.where(on_surface, 1.0, 0.0)]
 
         # ---- Next state ----
         off2 = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
-        nstate_ref[0] = px_ + b_ngx * off2
-        nstate_ref[1] = py_ + b_ngy * off2
-        nstate_ref[2] = pz_ + b_ngz * off2
-        nstate_ref[3] = wox
-        nstate_ref[4] = woy
-        nstate_ref[5] = woz
-        nstate_ref[6] = thr_nr
-        nstate_ref[7] = thr_ng
-        nstate_ref[8] = thr_nb
-        nstate_ref[9] = li_r
-        nstate_ref[10] = li_g
-        nstate_ref[11] = li_b
-        nstate_ref[12] = eta2_n
-        nstate_ref[13] = pdf_s
-        nstate_ref[14] = jnp.zeros_like(rox)
-        nstate_ref[15] = jnp.zeros_like(rox)
+        nstate = [px_ + b_ngx * off2, py_ + b_ngy * off2,
+                  pz_ + b_ngz * off2, wox, woy, woz,
+                  thr_nr, thr_ng, thr_nb, li_r, li_g, li_b,
+                  eta2_n, pdf_s]
 
         depth_packed = jnp.where(survive, depth, 0) & _DEPTH_MASK
-        nmeta_ref[:] = (
+        nmeta = (
             pix
             | (depth_packed << _DEPTH_SHIFT)
             | jnp.where(survive, _ALIVE, 0)
             | jnp.where(sampled_delta, _PDELTA, 0)
             | exh
         )
+        return nstate, nmeta, splat
 
-    del has_diff
+    return _bounce_core
+
+
+def _step_kernel(n_tris: int, n_cols: int, n_em: int, max_depth: int,
+                 rr_depth: int, types: tuple, width: int, height: int,
+                 in_kernel_rng: bool):
+    """Fully-fused pool step: regenerate dead lanes on their assigned
+    pixel (camera ray gen in-kernel), run one bounce, and accumulate the
+    film — all in one pallas_call with state/meta/film aliased in-place.
+
+    Motivation (PERF.md round-2): on the virtualized v5e the XLA glue
+    around the bounce kernel (regen selects, camera rays, threefry rand,
+    film adds) moves ~40 MB/step at ~270 GB/s — more than the bounce
+    itself once tiles start skipping. Fusing it leaves XLA only a 1 MB
+    meta reduction per step. Random numbers come from the TPU PRNG
+    (pltpu.prng_random_bits, seeded per (phase, step, tile)); interpret
+    mode has no PRNG lowering, so tests pass host rand instead.
+    """
+    chunked = n_tris > MAX_UNROLL_TRIS
+    core = _make_core(n_tris, n_cols, n_em, max_depth, rr_depth, types)
+    inv_w = 1.0 / width
+    inv_h = 1.0 / height
+
+    def kernel(*refs):
+        alive_ref, cam_ref, seed_ref, pxpy_ref = refs[0:4]
+        state_ref, meta_ref, film_ref = refs[4:7]
+        if in_kernel_rng:
+            tri_ref, em_ref, env_ref = refs[7:10]
+            out0 = 10
+        else:
+            rand_ref, tri_ref, em_ref, env_ref = refs[7:11]
+            out0 = 11
+        nstate_ref, nmeta_ref, nfilm_ref = refs[out0:out0 + 3]
+        maybe_scr = refs[out0 + 3:]
+        scr = maybe_scr[0] if chunked else None
+        flag = alive_ref[pl.program_id(0)]
+
+        @pl.when(flag == 0)
+        def _skip():
+            nstate_ref[...] = state_ref[...]
+            nmeta_ref[...] = meta_ref[...]
+            nfilm_ref[...] = film_ref[...]
+
+        @pl.when(flag != 0)
+        def _run():
+            if in_kernel_rng:
+                # Mosaic allows at most 2 seed words: fold the tile id in.
+                pltpu.prng_seed(
+                    # golden-ratio mix, 0x9E3779B9 as signed i32
+                    seed_ref[0] ^ (pl.program_id(0) * jnp.int32(-1640531527)),
+                    seed_ref[1],
+                )
+                shape = (RAND_ROWS + 2,) + state_ref.shape[1:]
+                bits = jax.lax.bitcast_convert_type(
+                    pltpu.prng_random_bits(shape), jnp.int32
+                )
+                # Top 24 bits as a uniform in [0, 1); Mosaic has no
+                # uint32->f32 cast, so mask after an arithmetic shift.
+                rnd = [
+                    ((bits[i] >> 8) & 0xFFFFFF).astype(jnp.float32)
+                    * (1.0 / 16777216.0)
+                    for i in range(RAND_ROWS + 2)
+                ]
+            else:
+                rnd = [rand_ref[i] for i in range(RAND_ROWS + 2)]
+
+            # --- Regenerate dead lanes on their assigned pixel ---
+            m = meta_ref[:]
+            alive = (m & _ALIVE) != 0
+            exh = (m & _EXH) != 0
+            count = (m & _PIX_MASK).astype(jnp.float32)
+            need = ~alive & ~exh
+            start = need & (count < pxpy_ref[2])
+            exh = exh | (need & ~start)
+            count = jnp.where(start, count + 1.0, count)
+            px = pxpy_ref[0] + rnd[RAND_ROWS]
+            py = pxpy_ref[1] + rnd[RAND_ROWS + 1]
+            # Perspective camera (mirrors scene/sensor.generate_rays).
+            sx = 1.0 - 2.0 * px * inv_w
+            sy = 1.0 - 2.0 * py * inv_h
+            dcx = sx * cam_ref[12]
+            dcy = sy * cam_ref[13]
+            dx = cam_ref[0] * dcx + cam_ref[1] * dcy + cam_ref[2]
+            dy = cam_ref[3] * dcx + cam_ref[4] * dcy + cam_ref[5]
+            dz = cam_ref[6] * dcx + cam_ref[7] * dcy + cam_ref[8]
+            inv_n = jax.lax.rsqrt(
+                jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
+            )
+            ones = jnp.ones_like(px)
+            zeros = jnp.zeros_like(px)
+            fresh = [cam_ref[9] * ones, cam_ref[10] * ones, cam_ref[11] * ones,
+                     dx * inv_n, dy * inv_n, dz * inv_n,
+                     ones, ones, ones, zeros, zeros, zeros, ones, ones]
+            sv = [jnp.where(start, f, state_ref[i])
+                  for i, f in enumerate(fresh)]
+            m2 = (
+                count.astype(jnp.int32)
+                | jnp.where(alive | start, _ALIVE, 0)
+                | jnp.where(exh, _EXH, 0)
+                | jnp.where(start, _PDELTA, m & _PDELTA)
+                | jnp.where(start, 0, m & (_DEPTH_MASK << _DEPTH_SHIFT))
+            )
+
+            ns, nm, sp = core(sv, m2, rnd[:7], tri_ref, em_ref, env_ref, scr)
+            for i in range(14):
+                nstate_ref[i] = ns[i]
+            nstate_ref[14] = zeros
+            nstate_ref[15] = zeros
+            nmeta_ref[:] = nm
+            for i in range(8):
+                nfilm_ref[i] = film_ref[i] + sp[i]
+
     return kernel
+
+
+@partial(jax.jit, static_argnames=(
+    "n_tris", "n_em", "max_depth", "rr_depth", "types", "width", "height",
+    "interpret",
+))
+def step(state, meta, film, tile_alive, cam, seed2, pxpy,
+         tri_rows, em_rows, env_row,
+         n_tris: int, n_em: int, max_depth: int, rr_depth: int,
+         types: tuple, width: int, height: int,
+         interpret: bool = False, rand=None):
+    """One fused pool step (regen + bounce + film) for all lanes.
+
+    state [16, R, 128] f32 / meta [R, 128] i32 / film [8, R, 128] f32 are
+    donated and updated in place (input_output_aliases). tile_alive
+    [R // RT] i32 skips drained tiles; cam [14] f32 = rot row-major(9) +
+    origin(3) + tan_x + tan_y; seed2 [2] i32 = (phase seed, step); pxpy
+    [3, R, 128] f32 = pixel x, pixel y, per-lane sample budget. `rand`
+    ([RAND_ROWS+2, R, 128]) replaces the in-kernel PRNG under interpret.
+    Returns (state, meta, film).
+    """
+    r = state.shape[1]
+    assert n_tris <= MAX_TRIS
+    n_cols = tri_rows.shape[1]
+    if n_tris > MAX_UNROLL_TRIS:
+        assert n_cols % CHUNK == 0, n_cols
+    chunked = n_tris > MAX_UNROLL_TRIS
+    rt = RT_CHUNKED if chunked else RT
+    assert r % rt == 0, (r, rt)
+    grid = (r // rt,)
+    scratch = [pltpu.VMEM((26, rt, 128), jnp.float32)] if chunked else []
+    in_kernel_rng = rand is None
+    rand_args = () if in_kernel_rng else (rand,)
+    rand_specs = [] if in_kernel_rng else [
+        pl.BlockSpec((RAND_ROWS + 2, rt, 128), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    return pl.pallas_call(
+        _step_kernel(n_tris, n_cols, n_em, max_depth, rr_depth,
+                     tuple(types), width, height, in_kernel_rng),
+        grid=grid,
+        scratch_shapes=scratch,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_alive
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed2
+            pl.BlockSpec((3, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),  # pxpy
+            pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + rand_specs + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, rt, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct(meta.shape, jnp.int32),
+            jax.ShapeDtypeStruct(film.shape, jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+    )(tile_alive.astype(jnp.int32), cam, seed2, pxpy, state, meta, film,
+      *rand_args, tri_rows, em_rows, env_row)
+
+
+def build_cam_params(scene, width: int, height: int, fov_axis: str = "x"):
+    """Pack the perspective camera for the fused step kernel: rot(9) +
+    origin(3) + tan_half_x + tan_half_y (matches generate_rays)."""
+    aspect = width / height
+    tan_half = scene.cam_tan_half_fov
+    if fov_axis == "x":
+        tx, ty = tan_half, tan_half / aspect
+    else:
+        tx, ty = tan_half * aspect, tan_half
+    rot = scene.cam_to_world[:3, :3]
+    return jnp.concatenate([
+        rot.reshape(9),
+        scene.cam_to_world[:3, 3],
+        jnp.reshape(tx, (1,)),
+        jnp.reshape(ty, (1,)),
+    ]).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=(

@@ -756,6 +756,139 @@ def render_pool_fused_sorted(
 
 
 @partial(jax.jit, static_argnames=(
+    "spp", "spp_pilot", "width", "height", "max_depth", "rr_depth",
+    "fov_axis", "bsdf_types", "interpret", "host_rand",
+))
+def render_pool_fused_sorted2(
+    scene,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    spp_pilot: int = 8,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    fov_axis: str = "x",
+    bsdf_types: tuple = (0,),
+    interpret: bool = False,
+    host_rand: bool = False,
+):
+    """Cost-sorted pool over the fully-fused step kernel.
+
+    Same pilot + cost-sorted schedule as render_pool_fused_sorted, but
+    each while-loop iteration is ONE pallas_call (ops/bounce_pallas.step):
+    lane regeneration, camera rays, PRNG, the bounce, and the film
+    accumulation all run in-kernel with state/meta/film aliased in place.
+    XLA's per-step work shrinks to a 1 MB meta reduction for the tile
+    alive flags. Random numbers come from the TPU PRNG seeded per
+    (key, phase, step, tile); `host_rand` (forced under interpret, which
+    has no PRNG lowering) feeds threefry rows instead.
+    """
+    from ..ops import bounce_pallas as bp
+
+    host_rand = host_rand or interpret
+    n_pix = width * height
+    chunked = scene.tri_v0.shape[0] > bp.MAX_UNROLL_TRIS
+    rt = bp.RT_CHUNKED if chunked else bp.RT
+    tile = rt * 128
+    n_tiles = -(-n_pix // tile)
+    n_lanes = n_tiles * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    assert 0 < spp_pilot < spp and spp <= _PIX_MASK
+    r_rows = n_lanes // 128
+    tri_rows, em_rows, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    n_em = scene.em_tri_idx.shape[0]
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    cam = bp.build_cam_params(scene, width, height, fov_axis)
+    seed_base = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+
+    def run_phase(pix_of_lane, budget, phase_id, k_phase):
+        pxpy = jnp.stack([
+            (pix_of_lane % width).astype(jnp.float32),
+            (pix_of_lane // width).astype(jnp.float32),
+            budget.astype(jnp.float32),
+        ]).reshape(3, r_rows, 128)
+
+        def cond(c):
+            return jnp.any(c["tile_alive"] != 0)
+
+        def body(c):
+            seed2 = jnp.stack([
+                seed_base + jnp.int32(phase_id), c["step"]
+            ]).astype(jnp.int32)
+            if host_rand:
+                k = jax.random.fold_in(jax.random.fold_in(
+                    k_phase, phase_id), c["step"])
+                rand = jax.random.uniform(
+                    k, (bp.RAND_ROWS + 2, r_rows, 128))
+            else:
+                rand = None
+            nstate, nmeta, nfilm = bp.step(
+                c["state"], c["meta"], c["film"], c["tile_alive"],
+                cam, seed2, pxpy, tri_rows, em_rows, env_row,
+                n_tris=n_tris, n_em=n_em,
+                max_depth=max_depth, rr_depth=rr_depth,
+                types=bsdf_types, width=width, height=height,
+                interpret=interpret, rand=rand,
+            )
+            c["state"] = nstate
+            c["meta"] = nmeta
+            c["film"] = nfilm
+            runnable = ((nmeta & _ALIVE) != 0) | ((nmeta & _EXH) == 0)
+            c["tile_alive"] = jnp.any(
+                runnable.reshape(n_tiles, tile), axis=1
+            ).astype(jnp.int32)
+            c["ats"] = c["ats"] + jnp.sum(c["tile_alive"])
+            c["step"] = c["step"] + 1
+            return c
+
+        init = {
+            "step": jnp.int32(0),
+            "ats": jnp.int32(0),
+            "film": jnp.zeros((8, r_rows, 128)),
+            "state": jnp.zeros((16, r_rows, 128))
+            .at[5].set(1.0)
+            .at[6:9].set(1.0)
+            .at[12:14].set(1.0),
+            "meta": jnp.full((r_rows, 128), _PDELTA, jnp.int32),
+            "tile_alive": jnp.ones((n_tiles,), jnp.int32),
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        return (out["film"].reshape(8, n_lanes).T, out["step"], out["ats"])
+
+    in_image = lane < n_pix
+    pix_a = jnp.where(in_image, lane, 0)
+    film_a, steps_a, ats_a = run_phase(
+        pix_a, jnp.where(in_image, spp_pilot, 0), 0, key
+    )
+
+    cost = jnp.where(in_image, film_a[:, 7], -1.0)
+    order = jnp.argsort(cost).astype(jnp.int32)
+    valid_b = cost[order] >= 0.0
+    film_b, steps_b, ats_b = run_phase(
+        jnp.where(valid_b, order, 0),
+        jnp.where(valid_b, spp - spp_pilot, 0),
+        1, key,
+    )
+
+    film = (
+        jnp.zeros((n_pix + 1, 8))
+        .at[jnp.where(in_image, pix_a, n_pix)].add(film_a)
+        .at[jnp.where(valid_b, order, n_pix)].add(film_b)
+    )[:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": jnp.sum(film[:, 7]),
+        "steps": steps_a + steps_b,
+        "alive_tile_steps": ats_a + ats_b,
+        "total_tile_steps": (steps_a + steps_b) * n_tiles,
+    }
+
+
+@partial(jax.jit, static_argnames=(
     "spp", "width", "height", "max_depth", "rr_depth",
     "fov_axis", "bsdf_types", "groups", "interpret",
 ))
@@ -916,12 +1049,21 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
     # XLA pool instead.
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu and fused_supported(scene, cfg, nee):
-        out = render_pool_fused_striped(
-            scene, jax.random.PRNGKey(seed), spp=spp,
-            width=cfg.width, height=cfg.height,
-            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
-            fov_axis=cfg.fov_axis, bsdf_types=tuple(cfg.bsdf_types),
-        )
+        if spp >= 4:
+            out = render_pool_fused_sorted2(
+                scene, jax.random.PRNGKey(seed), spp=spp,
+                spp_pilot=max(1, min(8, spp // 4)),
+                width=cfg.width, height=cfg.height,
+                max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+                fov_axis=cfg.fov_axis, bsdf_types=tuple(cfg.bsdf_types),
+            )
+        else:
+            out = render_pool_fused_striped(
+                scene, jax.random.PRNGKey(seed), spp=spp,
+                width=cfg.width, height=cfg.height,
+                max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+                fov_axis=cfg.fov_axis, bsdf_types=tuple(cfg.bsdf_types),
+            )
     else:
         out = render_pool(
             scene, jax.random.PRNGKey(seed),

@@ -290,6 +290,26 @@ def test_fused_sorted_matches_pool():
     assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
 
 
+def test_fused_sorted2_matches_pool():
+    """The fully-fused step kernel (in-kernel regen + camera rays + film,
+    host rand under interpret) must land exactly spp samples per pixel
+    and agree with the global-counter pool in mean."""
+    scene, cfg = make_box_scene(20, 18).build()
+    spp = 64
+    out = wf.render_pool_fused_sorted2(
+        scene, jax.random.PRNGKey(3), spp=spp, spp_pilot=16,
+        width=cfg.width, height=cfg.height, max_depth=6, rr_depth=6,
+        fov_axis=cfg.fov_axis, interpret=True,
+    )
+    w = np.asarray(out["weight"])
+    assert (w == spp).all()
+    img_s = np.asarray(out["image"]) / spp
+
+    img_p, _ = _render(scene, cfg, fused=False, spp=spp)
+    m_s, m_p = img_s.mean(), img_p.mean()
+    assert abs(m_s - m_p) / m_p < 0.06, (m_s, m_p)
+
+
 def test_fused_shuffled_matches_pool():
     """Shuffled multi-slot fused pool (dense slot-onehot film adds) must
     agree with the global-counter pool in mean and land exactly spp
