@@ -31,6 +31,23 @@ N_THETA_BINS = 8  # incidence-angle conditioning for glossy lobes
 # (the reference conditions 4-D mixtures on (theta_i, alpha):
 # roughconductor.cpp:176-243 create_conditional_pruned)
 
+# BSDF types with generic self-fit hooks (reference: getDMM overrides in
+# roughplastic.cpp, roughdielectric.cpp, blendbsdf.cpp).
+from ..scene.scene import (  # noqa: E402
+    BSDF_BLEND,
+    BSDF_ROUGHDIELECTRIC,
+    BSDF_ROUGHPLASTIC,
+)
+
+_GENERIC_HOOKED = {
+    int(BSDF_ROUGHPLASTIC), int(BSDF_ROUGHDIELECTRIC), int(BSDF_BLEND),
+}
+
+# Conditional pruning: the reference keeps the top-k components of the
+# learned conditional before the product (create_conditional_pruned with
+# top_k = 2, roughconductor.cpp:192, roughplastic.cpp:223).
+PRODUCT_TOP_K = 2
+
 
 def fit_directional_mixture(dirs, weights, n_components=4, iters=30, seed=0):
     """Weighted intrinsic EM for a mixture of tangent Gaussians on S².
@@ -148,6 +165,50 @@ def phong_lobe_dmm(exponent: float, n_components: int = 4, n_samples: int = 2000
     return fit_directional_mixture(d, jnp.ones((n_samples,)), n_components)
 
 
+def scene_bsdf_dmm(scene, bsdf_id: int, n_components: int = 4,
+                   n_samples: int = 12000):
+    """Incidence-conditioned DMMs fitted to an arbitrary scene BSDF by
+    sampling it directly (texture/child params resolved through
+    gather_params). TPU analog of the reference's pre-trained
+    (theta_i, ...)-conditioned SDMMs for roughplastic (conditions on
+    theta/alpha/eta, roughplastic.cpp:212-225), roughdielectric
+    (roughdielectric.cpp:198) and blendbsdf (conditions on theta/weight,
+    blendbsdf.cpp:87-101): instead of conditioning a trained 4/5-D
+    mixture, each theta_i bin gets its own self-fit 2-D directional
+    mixture — the scene's actual parameter values are baked in. Delta
+    lobes are excluded (product sampling never applies to them).
+
+    Returns (w [NB,K], mu [NB,K,3], cov [NB,K,2,2]).
+    """
+    from .. import bsdf as bsdf_mod
+
+    types = tuple(sorted({int(t) for t in np.asarray(scene.bsdf_type)}))
+    idx = jnp.full((n_samples,), int(bsdf_id), jnp.int32)
+    uv = jnp.full((n_samples, 2), 0.5)
+    params = bsdf_mod.gather_params(scene, idx, uv, types=types)
+    ws, mus, covs = [], [], []
+    for b in range(N_THETA_BINS):
+        theta = (b + 0.5) / N_THETA_BINS * (jnp.pi / 2)
+        wi = jnp.tile(
+            jnp.asarray([jnp.sin(theta), 0.0, jnp.cos(theta)]), (n_samples, 1)
+        )
+        key = jax.random.PRNGKey(1000 + 17 * int(bsdf_id) + b)
+        u0 = jax.random.uniform(key, (n_samples,))
+        u1 = jax.random.uniform(jax.random.fold_in(key, 1), (n_samples,))
+        u2 = jax.random.uniform(jax.random.fold_in(key, 2), (n_samples, 2))
+        bs = bsdf_mod.sample_full(params, wi, u0, u1, u2, types=types)
+        w_samp = jnp.max(bs["weight"], axis=-1)
+        ok = (w_samp > 0) & ~bs["delta"]
+        w_, m_, c_ = fit_directional_mixture(
+            bs["wo"], jnp.where(ok, w_samp, 0.0), n_components,
+            iters=25, seed=int(bsdf_id),
+        )
+        ws.append(w_)
+        mus.append(m_)
+        covs.append(c_)
+    return np.stack(ws), np.stack(mus), np.stack(covs)
+
+
 def build_learned_table(scene, n_components: int = 4):
     """Per-scene-BSDF learned mixtures in the LOCAL frame.
 
@@ -179,6 +240,16 @@ def build_learned_table(scene, n_components: int = 4):
             weight[i], mu[i], cov[i] = w_[None], m_[None], c_[None]
         elif btypes[i] == BSDF_ROUGHCONDUCTOR:
             w_, m_, c_ = roughconductor_dmm(float(round(float(alphas[i]), 3)), kb)
+            has[i], mode[i] = True, 2
+            weight[i], mu[i], cov[i] = w_, m_, c_
+        elif int(btypes[i]) in _GENERIC_HOOKED:
+            # roughplastic / roughdielectric / blend: theta-binned self-fit
+            # of the actual scene BSDF (reference getDMM hooks:
+            # roughplastic.cpp:212, roughdielectric.cpp:198,
+            # blendbsdf.cpp:87; twosided flips the frame, twosided.cpp:139
+            # — implicit here since mixtures orient to the flipped shading
+            # frame).
+            w_, m_, c_ = scene_bsdf_dmm(scene, i, kb)
             has[i], mode[i] = True, 2
             weight[i], mu[i], cov[i] = w_, m_, c_
     return {

@@ -261,6 +261,36 @@ def conditional_sample(c: Conditional, key) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def prune_conditional(c: Conditional, k: int) -> Conditional:
+    """Keep the top-k components by weight, renormalized.
+
+    Reference: sdmm::create_conditional_pruned(conditioner, cond, dmm,
+    top_k) — the learned-BSDF conditional is pruned to its top_k = 2
+    components before the mixture product so products are K_guide x k
+    instead of K_guide x K_bsdf (roughconductor.cpp:192,
+    roughplastic.cpp:223).
+    """
+    w, idx = jax.lax.top_k(c.weight, k)  # [..., k]
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+
+    # take_along_axis with broadcasting over trailing dims.
+    def gather(a):
+        extra = a.ndim - idx.ndim
+        ix = idx.reshape(idx.shape + (1,) * extra)
+        ix = jnp.broadcast_to(ix, idx.shape + a.shape[idx.ndim:])
+        return jnp.take_along_axis(a, ix, axis=idx.ndim - 1)
+
+    return Conditional(
+        weight=w / wsum,
+        mu_dir=gather(c.mu_dir),
+        rot=gather(c.rot),
+        chol=gather(c.chol),
+        inv_chol=gather(c.inv_chol),
+        inv_det=gather(c.inv_det),
+        valid=c.valid,
+    )
+
+
 def product(a: Conditional, b: Conditional):
     """Pairwise mixture product a×b → Conditional with K_a·K_b components.
 

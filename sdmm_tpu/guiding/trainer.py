@@ -61,10 +61,30 @@ class TrainerConfig:
 
 
 class SDMMTrainer:
-    def __init__(self, scene, render_cfg, cfg: TrainerConfig | None = None):
+    def __init__(self, scene, render_cfg, cfg: TrainerConfig | None = None,
+                 mesh=None):
+        """``mesh``: a jax.sharding.Mesh — ray waves are sharded over its
+        first axis and the WHOLE training algorithm (vertex collection,
+        tree refit from psum'd counts, jitter replicas, reservoir, the
+        canBeOptimized gate, EM) runs on the sharded arrays via GSPMD:
+        the same trainer code is the single- and multi-device path
+        (replaces the simplified fork that used to live in parallel/mesh
+        build_train_step; reference: the full loop volpath_sdmm.cpp:334).
+        """
         self.scene = scene
         self.render_cfg = render_cfg
         self.cfg = cfg or TrainerConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._ray_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0])
+            )
+            self._n_dev = int(mesh.devices.size)
+        else:
+            self._ray_sharding = None
+            self._n_dev = 1
         c = self.cfg
 
         lo = np.asarray(scene.aabb_lo)
@@ -134,13 +154,15 @@ class SDMMTrainer:
         w, h = rc.width, rc.height
         n_pix = w * h
         wave = min(c.rays_per_wave, n_pix)
+        # Sharded waves must split evenly over the mesh axis.
+        wave = -(-wave // self._n_dev) * self._n_dev
         n_waves = (n_pix + wave - 1) // wave
         pix_all = np.arange(n_waves * wave, dtype=np.int32) % n_pix
 
         gs = self.guide_state()
         base = jax.random.fold_in(jax.random.PRNGKey(c.seed), self.iteration)
 
-        if not collect and n_pix <= (1 << 20):
+        if self.mesh is None and not collect and n_pix <= (1 << 20):
             # Pure-render iteration (no vertex records needed): use the
             # regenerating lane pool — dead lanes restart on the next camera
             # sample, so occupancy doesn't decay with the path survival
@@ -159,6 +181,11 @@ class SDMMTrainer:
             n_paths = max(1, n_pix * c.samples_per_iteration)
             self._last_samples_count = 0
             self._last_mean_path_length = float(out["n_vertices"]) / n_paths
+            from ..utils.stats import avg_found_conditional
+
+            avg_found_conditional.add(
+                float(out["n_cond_ok"]), max(1, int(out["n_cond_try"]))
+            )
             return out["image"], out["sqr"], out["weight"], []
 
         image = jnp.zeros((n_pix, 3))
@@ -187,6 +214,8 @@ class SDMMTrainer:
             for wv in range(n_waves):
                 k = jax.random.fold_in(jax.random.fold_in(base, s), wv)
                 idx = jnp.asarray(pix_all[wv * wave : (wv + 1) * wave])
+                if self._ray_sharding is not None:
+                    idx = jax.device_put(idx, self._ray_sharding)
                 image, sqr, weight, samples = run_wave(image, sqr, weight, gs, k, idx)
                 if collect:
                     sample_batches.append(samples)
@@ -194,9 +223,18 @@ class SDMMTrainer:
 
     def optimize(self, sample_batches):
         """Tree refit + one EM step (reference ``optimize``)."""
-        from ..utils.stats import avg_path_length
+        from ..utils.stats import avg_found_conditional, avg_path_length
 
         c = self.cfg
+        avg_found_conditional.add(
+            float(sum(float(s.get("n_cond_ok", 0.0)) for s in sample_batches)),
+            max(1, int(sum(float(s.get("n_cond_try", 0.0))
+                           for s in sample_batches))),
+        )
+        sample_batches = [
+            {k: v for k, v in s.items() if not k.startswith("n_cond")}
+            for s in sample_batches
+        ]
         pos = jnp.concatenate([s["pos"] for s in sample_batches])
         d = jnp.concatenate([s["dir"] for s in sample_batches])
         wgt = jnp.concatenate([s["weight"] for s in sample_batches])

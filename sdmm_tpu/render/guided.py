@@ -118,10 +118,16 @@ def trace_wave_guided(
         if gs.learned is not None:
             from ..guiding.learned_bsdf import to_world_conditional
 
+            from ..guiding.learned_bsdf import PRODUCT_TOP_K
+
             learned_cond, has_dmm = to_world_conditional(
                 gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
             )
-            prod = mix.product(cond, learned_cond)
+            # Top-k pruned conditional (reference: create_conditional_pruned
+            # with top_k=2): products are K_guide x 2, not K_guide x K_bsdf.
+            prod = mix.product(
+                cond, mix.prune_conditional(learned_cond, PRODUCT_TOP_K)
+            )
             use_product = guide_ok & has_dmm & prod.valid
         else:
             use_product = jnp.zeros(n, dtype=bool)
@@ -183,6 +189,11 @@ def trace_wave_guided(
         ok_sample = ok_sample & ~(wo_dot_geo * wo_local[..., 2] <= 0.0)
         active_next = active & ok_sample
 
+        # Conditional success accounting (reference: percentage of found
+        # conditionals, sdmm_proc.cpp:187-194 avgFoundConditional).
+        cond_try = active & use_guide & ~delta_only
+        cond_ok = cond_try & cond.valid
+
         # Vertex record (reference Vertex, sdmm_proc.cpp:606-637).
         clamped_pdf = jnp.maximum(mis_pdf, PDF_CLAMP)
         cacheable = active_next & ~sampled_delta
@@ -216,6 +227,8 @@ def trace_wave_guided(
             "sample_pos": c_pos,
             "sample_dir": wo_world,
             "normal": normal,
+            "n_cond_try": jnp.sum(cond_try.astype(jnp.float32)),
+            "n_cond_ok": jnp.sum(cond_ok.astype(jnp.float32)),
         }
         return (ro_next, wo_world, throughput, eta_sq, active_next, li), outs
 
@@ -260,6 +273,8 @@ def trace_wave_guided(
         valid[..., None], outs["sample_dir"][:d_slots], jnp.array([0.0, 0.0, 1.0])
     )
     samples = {
+        "n_cond_try": jnp.sum(outs["n_cond_try"]),
+        "n_cond_ok": jnp.sum(outs["n_cond_ok"]),
         "pos": jnp.nan_to_num(safe_pos, nan=0.5, posinf=0.5, neginf=0.5).reshape(-1, 3),
         "dir": safe_dir.reshape(-1, 3),
         "normal": jnp.nan_to_num(outs["normal"][:d_slots]).reshape(-1, 3),
@@ -401,14 +416,26 @@ def render_pool_guided(
         if gs.learned is not None:
             from ..guiding.learned_bsdf import to_world_conditional
 
+            from ..guiding.learned_bsdf import PRODUCT_TOP_K
+
             learned_cond, has_dmm = to_world_conditional(
                 gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
             )
-            prod = mix.product(cond, learned_cond)
+            # Top-k pruned conditional (reference: create_conditional_pruned
+            # with top_k=2): products are K_guide x 2, not K_guide x K_bsdf.
+            prod = mix.product(
+                cond, mix.prune_conditional(learned_cond, PRODUCT_TOP_K)
+            )
             use_product = guide_ok & has_dmm & prod.valid
         else:
             use_product = jnp.zeros(n_lanes, dtype=bool)
             prod = None
+
+        cond_try = on_surface & use_guide & ~delta_only
+        c["n_cond_try"] = c["n_cond_try"] + jnp.sum(
+            cond_try.astype(jnp.float32))
+        c["n_cond_ok"] = c["n_cond_ok"] + jnp.sum(
+            (cond_try & cond.valid).astype(jnp.float32))
 
         h = jnp.where(guide_ok, bsdf_fraction, 1.0)
         h = jnp.where(use_product, 0.3, h)
@@ -509,6 +536,8 @@ def render_pool_guided(
         .at[:, _ETA2].set(1.0),
         "meta": jnp.zeros((n_lanes,), jnp.int32),
         "n_vert": jnp.float32(0.0),
+        "n_cond_try": jnp.float32(0.0),
+        "n_cond_ok": jnp.float32(0.0),
     }
     out = jax.lax.while_loop(cond_fn, body, init)
     return {
@@ -517,4 +546,6 @@ def render_pool_guided(
         "weight": out["film"][:, 6],
         "n_vertices": out["n_vert"],
         "steps": out["step"],
+        "n_cond_try": out["n_cond_try"],
+        "n_cond_ok": out["n_cond_ok"],
     }

@@ -139,3 +139,63 @@ def test_roughconductor_conditioned_dmm():
     ))
     assert p_refl > 20 * max(p_opp, 1e-9), (p_refl, p_opp)
     assert p_refl > 3 * p_side, (p_refl, p_side)
+
+
+def test_generic_hooks_cover_roughplastic_and_blend():
+    """roughplastic / roughdielectric / blend get self-fit theta-binned
+    mixtures (reference getDMM hooks in roughplastic.cpp:212,
+    roughdielectric.cpp:198, blendbsdf.cpp:87); the fitted lobe must put
+    most of its sampled mass in the reflection hemisphere for grazing
+    roughplastic, and integrate to 1."""
+    from sdmm_tpu.scene.scene import (
+        BSDF_BLEND,
+        BSDF_DIFFUSE,
+        BSDF_ROUGHPLASTIC,
+    )
+
+    b = make_box_scene(8, 8)
+    rp = b.add_bsdf(BSDF_ROUGHPLASTIC, alpha=0.2, eta=1.5,
+                    albedo=[0.4, 0.2, 0.1])
+    d2 = b.add_bsdf(BSDF_DIFFUSE, albedo=[0.2, 0.6, 0.2])
+    bl = b.add_bsdf(BSDF_BLEND, child0=rp, child1=d2, weight=0.4)
+    import sdmm_tpu.scene.shapes as shp
+
+    m = np.eye(4)
+    m[:3, 3] = [0.0, 0.5, 0.0]
+    b.add_shape(shp.make_rectangle(m, False), bl)
+    scene, cfg = b.build()
+
+    table = build_learned_table(scene)
+    has = np.asarray(table["has"])
+    assert has[rp] and has[bl]
+    assert int(np.asarray(table["mode"])[rp]) == 2
+    # Mixture weights are normalized per bin.
+    w = np.asarray(table["weight"][rp])
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-3)
+    # Grazing bin: mean directions stay in the upper hemisphere and lean
+    # away from the incidence azimuth (specular reflection of +x-ish wi
+    # points toward -x).
+    mu = np.asarray(table["mu_local"][rp][-1])
+    assert (mu[:, 2] > -0.2).all()
+
+
+def test_product_uses_pruned_conditional():
+    """mix.prune_conditional feeds the product path: a pruned learned
+    conditional keeps the product component count at K_guide x top_k."""
+    from sdmm_tpu.guiding.learned_bsdf import PRODUCT_TOP_K
+
+    scene, cfg = make_box_scene(8, 8).build()
+    table = build_learned_table(scene)
+    n = 4
+    s_ax = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (n, 1))
+    t_ax = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (n, 1))
+    n_ax = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (n, 1))
+    wi = jnp.tile(jnp.array([0.3, 0.1, 0.95]), (n, 1))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    cond_b, has = to_world_conditional(
+        table, jnp.zeros((n,), jnp.int32), s_ax, t_ax, n_ax, wi
+    )
+    pruned = mix.prune_conditional(cond_b, PRODUCT_TOP_K)
+    assert pruned.weight.shape == (n, PRODUCT_TOP_K)
+    prod = mix.product(pruned, pruned)
+    assert prod.weight.shape[-1] == PRODUCT_TOP_K * PRODUCT_TOP_K

@@ -170,3 +170,36 @@ def test_product_proportional_to_pointwise_product():
     # (multivariate_tangent_normal.h:571 multiply).
     spread = np.std(np.log(ratio))
     assert spread < 0.3, spread
+
+
+def test_prune_conditional_top_k():
+    """prune_conditional keeps the k heaviest components renormalized; its
+    pdf equals the renormalized sub-mixture (reference:
+    create_conditional_pruned, roughconductor.cpp:192)."""
+    m = make_test_sdmm(jax.random.PRNGKey(12), L=1, K=6, spread=0.3)
+    p = mix.prepare(m)
+    pos = jnp.array([[0.4, 0.6, 0.5]])
+    c = mix.create_conditional(
+        jax.tree.map(lambda x: x[0][None], p), m.weight[0][None], pos
+    )
+    k = 2
+    pruned = mix.prune_conditional(c, k)
+    assert pruned.weight.shape[-1] == k
+    w = np.asarray(c.weight[0])
+    top = np.sort(w)[::-1][:k]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(pruned.weight[0]))[::-1], top / top.sum(),
+        rtol=1e-5,
+    )
+    # pdf of the pruned mixture == renormalized sum over the top-k comps.
+    dirs = jnp.asarray(fibonacci_sphere(5000), dtype=jnp.float32)
+    fp = np.asarray(
+        mix.conditional_pdf(jax.tree.map(lambda x: x[0], pruned), dirs)
+    )
+    integral = fp.mean() * 4 * np.pi
+    assert abs(integral - 1.0) < 0.03, integral
+    # Gathered geometry matches the originals (mean dirs subset).
+    mu_full = np.asarray(c.mu_dir[0])
+    mu_pruned = np.asarray(pruned.mu_dir[0])
+    for row in mu_pruned:
+        assert np.min(np.linalg.norm(mu_full - row, axis=-1)) < 1e-6
