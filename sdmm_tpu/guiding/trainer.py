@@ -46,6 +46,8 @@ class TrainerConfig:
     jitter_replicas: bool = True  # cross-leaf sample sharing: replicate
     # high-value / path-terminal samples into a neighboring leaf with a
     # cell-diagonal jitter (reference: sdmm_proc.cpp:932-964)
+    saved_samples_per_path: int = 8  # record only the last N path vertices
+    # (reference: sdmm_config.h savedSamplesPerPath, sdmm_proc.cpp:916)
     data_init: bool = False  # k-means++ reseed of spatial means when a
     # leaf first activates (reference: sdmm::initialize data-driven init,
     # volpath_sdmm.cpp:132-138; kMeansPPInit, jmm/mixture_model_init.h:245)
@@ -205,6 +207,7 @@ class SDMMTrainer:
                 max_depth=rc.max_depth, rr_depth=rc.rr_depth,
                 bsdf_fraction=c.bsdf_fraction,
                 bsdf_types=rc.bsdf_types or None,
+                saved_samples_per_path=c.saved_samples_per_path,
             )
             li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
             image, sqr, weight = film_mod.splat(image, sqr, weight, pixel_idx, li)
@@ -260,24 +263,54 @@ class SDMMTrainer:
             self._apply_copies(copies)
             leaf = find_leaf(self.tables, pos)
 
-        # Jittered cross-leaf replicas (reference: sdmm_proc.cpp:932-964):
-        # offset each sample by ±half the leaf diagonal; keep replicas that
-        # land in a DIFFERENT leaf. One replica per valid sample of weight
-        # > 1000 or from the deepest recorded vertices — approximated here
-        # by replicating every valid sample once with weight-based masking.
+        # Jittered cross-leaf replicas (reference: sdmm_proc.cpp:932-964).
+        # nJitters = 1 for the path-terminal vertex, +1 if weight > 1000
+        # (all other vertices get none); each jitter offsets the position by
+        # uniform ±half the sample leaf's diagonal and retries up to 8 times
+        # until it lands in a DIFFERENT leaf. The replica pushed into that
+        # leaf keeps the ORIGINAL sample position/direction — the jitter only
+        # selects the destination leaf (push_back_data passes vertices[d]
+        # unchanged).
         if c.jitter_replicas:
-            k_j = jax.random.fold_in(jax.random.PRNGKey(c.seed ^ 0x9E37), self.iteration)
+            terminal = jnp.concatenate(
+                [s["terminal"] for s in sample_batches]
+            ) if sample_batches and "terminal" in sample_batches[0] else valid
+            n_rep = terminal.astype(jnp.int32) + (wgt > 1000.0).astype(jnp.int32)
             lo = self.tables["leaf_lo"][leaf]
             hi = self.tables["leaf_hi"][leaf]
-            offs = (jax.random.uniform(k_j, pos.shape) - 0.5) * (hi - lo)
-            pos_j = pos + offs
-            leaf_j = find_leaf(self.tables, pos_j)
-            keep = valid & (leaf_j != leaf)
-            pos = jnp.concatenate([pos, jnp.where(keep[:, None], pos_j, 0.5)])
-            d = jnp.concatenate([d, d])
-            wgt = jnp.concatenate([wgt, jnp.where(keep, wgt, -1.0)])
-            valid = jnp.concatenate([valid, keep])
-            leaf = jnp.concatenate([leaf, jnp.where(keep, leaf_j, 0)])
+            diag = hi - lo
+            k_j = jax.random.fold_in(
+                jax.random.PRNGKey(c.seed ^ 0x9E37), self.iteration
+            )
+
+            def _dest_leaf(key):
+                """First-success-of-8-attempts destination leaf per sample."""
+                offs = (jax.random.uniform(key, (8,) + pos.shape) - 0.5) * diag
+                cand = find_leaf(self.tables, (pos + offs).reshape(-1, 3))
+                cand = cand.reshape(8, -1)
+                ok = cand != leaf
+                first = jnp.argmax(ok, axis=0)
+                got = jnp.take_along_axis(ok, first[None], axis=0)[0]
+                dest = jnp.take_along_axis(cand, first[None], axis=0)[0]
+                return jnp.where(got, dest, leaf)
+
+            k1, k2 = jax.random.split(k_j)
+            reps = []
+            for r, kr in ((0, k1), (1, k2)):
+                leaf_r = _dest_leaf(kr)
+                keep = valid & (n_rep > r) & (leaf_r != leaf)
+                reps.append((keep, leaf_r))
+            pos = jnp.concatenate(
+                [pos] + [jnp.where(k_[:, None], pos, 0.5) for k_, _ in reps]
+            )
+            d = jnp.concatenate([d] * (1 + len(reps)))
+            wgt = jnp.concatenate(
+                [wgt] + [jnp.where(k_, wgt, -1.0) for k_, _ in reps]
+            )
+            leaf = jnp.concatenate(
+                [leaf] + [jnp.where(k_, l_, 0) for k_, l_ in reps]
+            )
+            valid = jnp.concatenate([valid] + [k_ for k_, _ in reps])
 
         # Prioritized replay: merge into the fixed-capacity reservoir and fit
         # the EM on its (decayed, RR-downsampled) contents.

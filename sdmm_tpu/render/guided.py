@@ -62,7 +62,10 @@ def _gather_prep(prep: mix.Prepared, leaf: jnp.ndarray) -> mix.Prepared:
     return jax.tree.map(lambda x: x[leaf], prep)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "rr_depth", "bsdf_fraction", "bsdf_types"))
+@partial(jax.jit, static_argnames=(
+    "max_depth", "rr_depth", "bsdf_fraction", "bsdf_types",
+    "saved_samples_per_path",
+))
 def trace_wave_guided(
     scene,
     gs: GuideState,
@@ -73,6 +76,7 @@ def trace_wave_guided(
     rr_depth: int = 10,
     bsdf_fraction: float = 0.5,
     bsdf_types: tuple | None = None,
+    saved_samples_per_path: int = 8,
 ):
     """Trace one guided wave.
 
@@ -265,6 +269,13 @@ def trace_wave_guided(
         & jnp.isfinite(sample_weight)
         & (sample_weight >= 0.0)
     )
+    # Only the last savedSamplesPerPath vertices of each path are recorded
+    # (reference: firstSaved = max(depth - savedSamplesPerPath, 0),
+    # sdmm_proc.cpp:916-918); the path-terminal vertex additionally gets a
+    # jittered cross-leaf replica in the trainer (:932).
+    rev_rank = jnp.cumsum(valid[::-1].astype(jnp.int32), axis=0)[::-1]
+    terminal = valid & (rev_rank == 1)
+    valid = valid & (rev_rank <= saved_samples_per_path)
 
     # Invalid slots (missed rays, delta vertices) may hold inf/NaN positions;
     # sanitize so they cannot poison downstream segment-sums.
@@ -281,6 +292,7 @@ def trace_wave_guided(
         # weight < 0 marks invalid slots for the EM (guiding/em.py e_step).
         "weight": jnp.where(valid, sample_weight, -1.0).reshape(-1),
         "valid": valid.reshape(-1),
+        "terminal": terminal.reshape(-1),
     }
     return li, samples
 
