@@ -135,6 +135,9 @@ class SDMMTrainer:
             aabb_lo=self.scene.aabb_lo,
             inv_norm=jnp.float32(1.0 / self.spatial_norm),
             learned=self.learned,
+            packed=mix.pack_conditioning(
+                self.prep, self.sdmm.weight, self.initialized
+            ),
         )
 
     def _apply_copies(self, copies):

@@ -50,6 +50,9 @@ class GuideState(NamedTuple):
     aabb_lo: jnp.ndarray  # [3] world-space scene AABB min
     inv_norm: jnp.ndarray  # [] 1 / spatialNormalization
     learned: dict | None = None  # learned-BSDF DMM table (product sampling)
+    packed: jnp.ndarray | None = None  # [L, C] row-packed conditioning
+    # params (mix.pack_conditioning): ONE wide per-ray gather instead of
+    # ten narrow ones — XLA TPU gathers are ~per-row-serial.
 
 
 def canonical(gs: GuideState, p: jnp.ndarray) -> jnp.ndarray:
@@ -60,6 +63,16 @@ def canonical(gs: GuideState, p: jnp.ndarray) -> jnp.ndarray:
 
 def _gather_prep(prep: mix.Prepared, leaf: jnp.ndarray) -> mix.Prepared:
     return jax.tree.map(lambda x: x[leaf], prep)
+
+
+def _lookup_conditioning(gs: GuideState, leaf: jnp.ndarray):
+    """Per-ray (weight_g, prep_g, use_guide) leaf lookup — packed single
+    gather when gs.packed is set, pytree gathers otherwise."""
+    if gs.packed is not None:
+        return mix.unpack_conditioning(
+            gs.packed[leaf], gs.sdmm.weight.shape[-1]
+        )
+    return gs.sdmm.weight[leaf], _gather_prep(gs.prep, leaf), gs.initialized[leaf]
 
 
 @partial(jax.jit, static_argnames=(
@@ -93,11 +106,17 @@ def trace_wave_guided(
         it = surface_interaction(scene, ro, rd, hit)
 
         # Emitted radiance (MIS weight 1; reference sdmm_proc.cpp:816).
+        # The scan runs ONE step past max_depth so the backward pass has
+        # le at vertex d+1 for the last recorded vertex's incident
+        # radiance; that extra vertex must NOT contribute to the image
+        # (reference: the Li loop breaks at depth > maxDepth, :649).
+        in_depth = depth < max_depth
         le = emitters.eval_emitter(scene, it, -rd)
-        li = li + jnp.where(active[..., None], throughput * le, 0.0)
+        li = li + jnp.where((active & in_depth)[..., None], throughput * le, 0.0)
         le_out = jnp.where(active[..., None], le, 0.0)
         li = li + jnp.where(
-            (active & ~hit["valid"])[..., None], throughput * emitters.env_eval(scene, rd), 0.0
+            (active & in_depth & ~hit["valid"])[..., None],
+            throughput * emitters.env_eval(scene, rd), 0.0,
         )
         active = active & hit["valid"]
 
@@ -110,10 +129,8 @@ def trace_wave_guided(
         # --- Guided sampling (sampleSurface, sdmm_proc.cpp:275) ---
         c_pos = canonical(gs, it["p"])
         leaf = stree.find_leaf(gs.tables, c_pos)
-        use_guide = gs.initialized[leaf]
-
-        prep_g = _gather_prep(gs.prep, leaf)
-        cond = mix.create_conditional(prep_g, gs.sdmm.weight[leaf], c_pos)
+        weight_g, prep_g, use_guide = _lookup_conditioning(gs, leaf)
+        cond = mix.create_conditional(prep_g, weight_g, c_pos)
         delta_only = bsdf_mod.is_delta_only(params)
         guide_ok = use_guide & cond.valid & ~delta_only
 
@@ -419,9 +436,8 @@ def render_pool_guided(
 
         c_pos = canonical(gs, it["p"])
         leaf = stree.find_leaf(gs.tables, c_pos)
-        use_guide = gs.initialized[leaf]
-        prep_g = _gather_prep(gs.prep, leaf)
-        cond = mix.create_conditional(prep_g, gs.sdmm.weight[leaf], c_pos)
+        weight_g, prep_g, use_guide = _lookup_conditioning(gs, leaf)
+        cond = mix.create_conditional(prep_g, weight_g, c_pos)
         delta_only = bsdf_mod.is_delta_only(params)
         guide_ok = use_guide & cond.valid & ~delta_only
 

@@ -134,3 +134,31 @@ def test_pool_guided_matches_scan_estimator(trained):
     scan_img = acc / spp
     rel = abs(pool_img.mean() - scan_img.mean()) / max(scan_img.mean(), 1e-9)
     assert rel < 0.1, (pool_img.mean(), scan_img.mean())
+
+
+def test_guided_depth_gating_matches_volpath():
+    """The guided scan runs one extra step for training targets (le at
+    vertex max_depth+1); that vertex must NOT contribute to the image —
+    an uninitialized guide state must estimate the same image mean as
+    the plain tracer at the SAME max_depth (regression: guided(md) used
+    to equal volpath(md+1))."""
+    from sdmm_tpu.render.guided import trace_wave_guided
+
+    b = make_box_scene(32, 32)
+    scene, cfg = b.build()
+    tr = SDMMTrainer(scene, cfg, TrainerConfig(
+        n_components=8, max_leaves=64, rays_per_wave=32 * 32,
+        em=em_mod.EMConfig(batch_size=1 << 12)))
+    gs = tr.guide_state()
+    for md in (1, 2):
+        cfg.max_depth = md
+        ref = render(scene, cfg, spp=96, seed=5, rays_per_wave=32 * 32,
+                     nee=False)
+        tf = lambda scene, key, ro, rd: trace_wave_guided(
+            scene, gs, key, ro, rd, max_depth=md, rr_depth=cfg.rr_depth,
+            bsdf_types=cfg.bsdf_types or None)[0]
+        got = render(scene, cfg, spp=96, seed=5, rays_per_wave=32 * 32,
+                     trace_fn=tf)
+        a = float(np.asarray(ref["image"]).mean())
+        g = float(np.asarray(got["image"]).mean())
+        assert abs(g - a) / a < 0.08, (md, g, a)

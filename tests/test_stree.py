@@ -42,3 +42,29 @@ def test_max_leaves_respected():
     t.split_to_depth(1)
     t.refit(np.full(t.n_leaves, 1e9))
     assert t.n_leaves <= 8
+
+
+def test_grid_lookup_matches_descent():
+    """The dense dyadic grid must agree with the node-table descent
+    (the grid is the fast path; the descent is the semantic spec)."""
+    from sdmm_tpu.guiding.stree import _find_leaf_descent
+
+    rs = np.random.RandomState(7)
+    t = STree(-1e-5 * np.ones(3), np.array([1.0, 0.8, 0.6]) + 1e-5,
+              split_threshold=50)
+    t.split_to_depth(2)
+    # Drive an uneven refinement: hammer a corner leaf repeatedly.
+    for _ in range(6):
+        tables = t.device_tables()
+        pts = rs.rand(4096, 3).astype(np.float32) ** 2 * [1.0, 0.8, 0.6]
+        leaf = np.asarray(find_leaf(tables, jnp.asarray(pts)))
+        counts = np.zeros(t.max_leaves)
+        np.add.at(counts, leaf, 1.0)
+        t.refit(counts * 30.0)
+    tables = t.device_tables()
+    assert "grid" in tables
+    pts = jnp.asarray(rs.rand(8192, 3).astype(np.float32) * [1.0, 0.8, 0.6])
+    fast = np.asarray(find_leaf(tables, pts))
+    slow = np.asarray(_find_leaf_descent(tables, pts))
+    assert np.mean(fast == slow) > 0.999  # boundary-ulp mismatches only
+    assert np.array_equal(np.sort(np.unique(fast)), np.sort(np.unique(slow)))
