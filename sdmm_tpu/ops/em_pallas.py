@@ -231,29 +231,31 @@ def sort_and_tile(pos, d, weight, leaf, n_leaves: int, cap: int):
     )  # [L+2]
 
     order = jnp.argsort(leaf_eff, stable=True)
-    sl = leaf_eff[order]
-    rank = jnp.arange(s, dtype=jnp.int32) - start_orig[sl]
-    in_dump = sl == L
     cap_tiles = cap // TILE + L + 1
-    dest = jnp.where(
-        in_dump,
-        cap_tiles * TILE,  # past the buffer: dropped by the scatter below
-        tile_off[jnp.minimum(sl, L - 1)] * TILE + rank,
-    )
-
-    buf = jnp.zeros((_ROWS, cap_tiles * TILE))
     rows = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
          jnp.where(valid, weight, 0.0), jnp.zeros_like(weight)], axis=0
     )[:, order]
-    buf = buf.at[:, dest].set(rows, mode="drop")
-    samples = buf.reshape(_ROWS, cap_tiles, 8, 128)
 
     # tile_leaf[t] = leaf whose run covers tile t; dummy tiles -> L.
     n_used = tile_off[L]
     tids = jnp.arange(cap_tiles, dtype=jnp.int32)
     tleaf = jnp.searchsorted(tile_off, tids, side="right").astype(jnp.int32) - 1
+    tleaf = jnp.clip(tleaf, 0, L - 1)
     tile_leaf = jnp.where(tids < n_used, tleaf, L)
+
+    # Tile padding as a pure GATHER: for each output slot, the source
+    # position in the leaf-sorted array is start_orig[leaf] + rank, both
+    # derivable from the slot index alone — no scatter (XLA TPU scatters
+    # serialize per row; the gather is the cheaper reshuffle).
+    slot = jnp.arange(cap_tiles * TILE, dtype=jnp.int32)
+    slot_leaf = tleaf[slot // TILE]
+    within = slot - tile_off[slot_leaf] * TILE
+    fill = (within >= 0) & (within < counts[slot_leaf]) \
+        & ((slot // TILE) < n_used)
+    src = jnp.where(fill, start_orig[slot_leaf] + within, s)
+    buf = jnp.take(rows, src, axis=1, mode="fill", fill_value=0.0)
+    samples = buf.reshape(_ROWS, cap_tiles, 8, 128)
 
     wgt = jnp.where(valid, weight, 0.0)
     weight_sum = jnp.zeros(L).at[leaf_eff].add(
