@@ -109,7 +109,12 @@ def hosek_radiance(configs, radiances, theta, gamma):
     [..., 3]."""
     theta = np.asarray(theta)[..., None]
     gamma = np.asarray(gamma)[..., None]
-    a, b, c, d, e, f, g, h, i = (configs[:, k] for k in range(9))
+    # Dataset coefficient order is A,B,C,D,E,F,G,I,H: index 7 multiplies the
+    # sqrt(cos theta) zenith term and index 8 is the Mie anisotropy
+    # (skymodel.cpp GetRadianceInternal uses configuration[7]*zenith and
+    # configuration[8] inside the Mie denominator).
+    a, b, c, d, e, f, g = (configs[:, k] for k in range(7))
+    i, h = configs[:, 7], configs[:, 8]
     cos_t = np.cos(theta)
     cos_g = np.cos(gamma)
     exp_m = np.exp(e * gamma)
