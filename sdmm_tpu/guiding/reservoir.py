@@ -25,6 +25,14 @@ import jax.numpy as jnp
 def make_reservoir(capacity: int):
     return {
         "pos": jnp.zeros((capacity, 3)),
+        # Position used for leaf lookup. Identical to ``pos`` for ordinary
+        # samples; for jitter replicas it is the jittered position that
+        # selected the destination leaf, so re-deriving leaf = find(lookup)
+        # after a merge (or a tree refit) still routes the replica to its
+        # neighboring leaf instead of collapsing it onto the source leaf
+        # (reference: push_back_data stores the original vertex in the
+        # context found at the jittered position, sdmm_proc.cpp:923-964).
+        "lookup_pos": jnp.zeros((capacity, 3)),
         "dir": jnp.zeros((capacity, 3)),
         "weight": jnp.zeros((capacity,)),
         "priority": jnp.zeros((capacity,)),
@@ -34,16 +42,19 @@ def make_reservoir(capacity: int):
 
 @partial(jax.jit, static_argnames=("capacity",))
 def reservoir_update(res: dict, pos, d, wgt, valid, key, capacity: int,
-                     decay: float = 0.5):
+                     decay: float = 0.5, lookup_pos=None):
     """Merge a new sample batch into the reservoir; returns the new reservoir.
 
     New samples enter with priority = |weight| (the reference prioritizes
     by sample contribution); stored priorities decay by ``decay`` per
     iteration so stale samples are progressively RR'd away.
     """
+    if lookup_pos is None:
+        lookup_pos = pos
     pr_old = res["priority"] * decay
     pr_new = jnp.abs(wgt) + 1e-6
     all_pos = jnp.concatenate([res["pos"], pos])
+    all_lookup = jnp.concatenate([res["lookup_pos"], lookup_pos])
     all_dir = jnp.concatenate([res["dir"], d])
     all_w = jnp.concatenate([res["weight"], wgt])
     all_pr = jnp.concatenate([pr_old, jnp.where(valid, pr_new, 0.0)])
@@ -69,6 +80,7 @@ def reservoir_update(res: dict, pos, d, wgt, valid, key, capacity: int,
     kept = survive[take]
     return {
         "pos": jnp.where(kept[:, None], all_pos[take], 0.5),
+        "lookup_pos": jnp.where(kept[:, None], all_lookup[take], 0.5),
         "dir": jnp.where(kept[:, None], all_dir[take],
                          jnp.array([0.0, 0.0, 1.0])),
         # -1 marks invalid entries for the EM (em.py treats weight < 0 as

@@ -127,36 +127,40 @@ class STree:
                 leaf_lo[self.leaf[i]] = self.node_lo[i]
                 leaf_hi[self.leaf[i]] = self.node_hi[i]
         grid, res = self._leaf_grid()
-        return {
+        tables = {
             "axis": jnp.asarray(self.axis, dtype=jnp.int32),
             "split": jnp.asarray(self.split, dtype=jnp.float32),
             "child": jnp.asarray(self.child, dtype=jnp.int32),
             "leaf": jnp.asarray(self.leaf, dtype=jnp.int32),
             "leaf_lo": jnp.asarray(leaf_lo, dtype=jnp.float32),
             "leaf_hi": jnp.asarray(leaf_hi, dtype=jnp.float32),
+        }
+        if grid is not None:
             # Dense dyadic lookup grid: find = ONE element gather instead of
             # a MAX_TREE_DEPTH-level descent (~96 gathers; measured 40 ms →
             # ~2 ms for a 131k-ray wave). All split planes are dyadic
             # midpoints, so with per-axis resolution = 2^(max splits along
             # that axis) every leaf tiles an exact integer box of cells.
-            "grid": jnp.asarray(grid.reshape(-1), dtype=jnp.int32),
-            "grid_lo": jnp.asarray(self.lo, dtype=jnp.float32),
-            "grid_scale": jnp.asarray(
+            tables["grid"] = jnp.asarray(grid.reshape(-1), dtype=jnp.int32)
+            tables["grid_lo"] = jnp.asarray(self.lo, dtype=jnp.float32)
+            tables["grid_scale"] = jnp.asarray(
                 np.asarray(res, np.float64) / (self.hi - self.lo),
                 dtype=jnp.float32,
-            ),
-            "grid_res": jnp.asarray(res, dtype=jnp.int32),
-        }
+            )
+            tables["grid_res"] = jnp.asarray(res, dtype=jnp.int32)
+        return tables
 
     _GRID_CELL_CAP = 1 << 24  # 16M cells = 64 MB i32 upper bound
 
     def _leaf_grid(self):
         """Box-fill leaf slots into a dense [R0, R1, R2] grid.
 
-        Per-axis resolution is the finest split level present; if the total
-        cell count would exceed the cap, resolutions are halved (deepest
-        leaves then share cells — last-write-wins by depth order, an
-        approximation only for leaves finer than ~1/256 of the domain).
+        Per-axis resolution is the finest split level present, so every
+        leaf tiles an exact integer box of cells. If the total cell count
+        would exceed the cap (possible only if MAX_TREE_DEPTH or the cap
+        constant change: prod(res) ≤ 2^MAX_TREE_DEPTH), returns (None,
+        None) and ``find_leaf`` falls back to the exact node-table descent
+        rather than silently misrouting samples near fine leaves.
         """
         ext = self.hi - self.lo
         res = np.ones(3, dtype=np.int64)
@@ -166,15 +170,16 @@ class STree:
                 leaf_ext = self.node_hi[i][a] - self.node_lo[i][a]
                 k = int(round(np.log2(max(ext[a] / max(leaf_ext, 1e-12), 1.0))))
                 res[a] = max(res[a], 1 << k)
-        while int(np.prod(res)) > self._GRID_CELL_CAP:
-            res[int(np.argmax(res))] >>= 1
+        if int(np.prod(res)) > self._GRID_CELL_CAP:
+            return None, None
         grid = np.zeros(tuple(int(r) for r in res), dtype=np.int32)
-        # Shallow→deep so finer leaves overwrite coarser ones when capped.
-        for i in sorted(leaves, key=lambda i: self.depth[i]):
+        for i in leaves:
             i_lo = np.floor((self.node_lo[i] - self.lo) / ext * res + 0.5).astype(int)
             i_hi = np.floor((self.node_hi[i] - self.lo) / ext * res + 0.5).astype(int)
-            i_hi = np.maximum(i_hi, i_lo + 1)
-            i_lo = np.minimum(i_lo, res - 1)
+            assert (i_hi > i_lo).all(), (
+                "leaf does not cover a full grid cell — resolution "
+                "derivation is inconsistent with the split planes"
+            )
             grid[i_lo[0]:i_hi[0], i_lo[1]:i_hi[1], i_lo[2]:i_hi[2]] = self.leaf[i]
         return grid, res
 

@@ -274,10 +274,15 @@ class SDMMTrainer:
         # leaf keeps the ORIGINAL sample position/direction — the jitter only
         # selects the destination leaf (push_back_data passes vertices[d]
         # unchanged).
+        lookup_pos = pos
         if c.jitter_replicas:
-            terminal = jnp.concatenate(
-                [s["terminal"] for s in sample_batches]
-            ) if sample_batches and "terminal" in sample_batches[0] else valid
+            if not sample_batches or "terminal" not in sample_batches[0]:
+                raise KeyError(
+                    "jitter_replicas requires a 'terminal' field in the "
+                    "sample batches (emitted by trace_wave_guided); without "
+                    "it every valid vertex would silently get a replica"
+                )
+            terminal = jnp.concatenate([s["terminal"] for s in sample_batches])
             n_rep = terminal.astype(jnp.int32) + (wgt > 1000.0).astype(jnp.int32)
             lo = self.tables["leaf_lo"][leaf]
             hi = self.tables["leaf_hi"][leaf]
@@ -287,33 +292,46 @@ class SDMMTrainer:
             )
 
             def _dest_leaf(key):
-                """First-success-of-8-attempts destination leaf per sample."""
+                """First-success-of-8-attempts destination leaf per sample.
+                Returns (leaf, jittered position that found it)."""
                 offs = (jax.random.uniform(key, (8,) + pos.shape) - 0.5) * diag
-                cand = find_leaf(self.tables, (pos + offs).reshape(-1, 3))
-                cand = cand.reshape(8, -1)
+                cand_pos = (pos + offs).reshape(-1, 3)
+                cand = find_leaf(self.tables, cand_pos).reshape(8, -1)
                 ok = cand != leaf
                 first = jnp.argmax(ok, axis=0)
                 got = jnp.take_along_axis(ok, first[None], axis=0)[0]
                 dest = jnp.take_along_axis(cand, first[None], axis=0)[0]
-                return jnp.where(got, dest, leaf)
+                dpos = jnp.take_along_axis(
+                    cand_pos.reshape(8, -1, 3), first[None, :, None], axis=0
+                )[0]
+                return (jnp.where(got, dest, leaf),
+                        jnp.where(got[:, None], dpos, pos))
 
             k1, k2 = jax.random.split(k_j)
             reps = []
             for r, kr in ((0, k1), (1, k2)):
-                leaf_r = _dest_leaf(kr)
+                leaf_r, pos_r = _dest_leaf(kr)
                 keep = valid & (n_rep > r) & (leaf_r != leaf)
-                reps.append((keep, leaf_r))
+                reps.append((keep, leaf_r, pos_r))
             pos = jnp.concatenate(
-                [pos] + [jnp.where(k_[:, None], pos, 0.5) for k_, _ in reps]
+                [pos] + [jnp.where(k_[:, None], pos, 0.5) for k_, _, _ in reps]
+            )
+            # Replicas keep the ORIGINAL sample position for EM, but their
+            # leaf lookup goes through the jittered position so the
+            # destination-leaf assignment survives reservoir merges and
+            # tree refits.
+            lookup_pos = jnp.concatenate(
+                [lookup_pos]
+                + [jnp.where(k_[:, None], p_, 0.5) for k_, _, p_ in reps]
             )
             d = jnp.concatenate([d] * (1 + len(reps)))
             wgt = jnp.concatenate(
-                [wgt] + [jnp.where(k_, wgt, -1.0) for k_, _ in reps]
+                [wgt] + [jnp.where(k_, wgt, -1.0) for k_, _, _ in reps]
             )
             leaf = jnp.concatenate(
-                [leaf] + [jnp.where(k_, l_, 0) for k_, l_ in reps]
+                [leaf] + [jnp.where(k_, l_, 0) for k_, l_, _ in reps]
             )
-            valid = jnp.concatenate([valid] + [k_ for k_, _ in reps])
+            valid = jnp.concatenate([valid] + [k_ for k_, _, _ in reps])
 
         # Prioritized replay: merge into the fixed-capacity reservoir and fit
         # the EM on its (decayed, RR-downsampled) contents.
@@ -325,13 +343,15 @@ class SDMMTrainer:
             )
             self.reservoir = reservoir_update(
                 self.reservoir, pos, d, wgt, valid, k_r,
-                c.reservoir_capacity, c.per_decay,
+                c.reservoir_capacity, c.per_decay, lookup_pos=lookup_pos,
             )
             pos = self.reservoir["pos"]
             d = self.reservoir["dir"]
             wgt = self.reservoir["weight"]
             valid = self.reservoir["valid"]
-            leaf = find_leaf(self.tables, pos)
+            # Lookup positions (jittered for replicas) keep replica
+            # destination leaves intact across merges and refits.
+            leaf = find_leaf(self.tables, self.reservoir["lookup_pos"])
 
         counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(
             valid.astype(jnp.int32)

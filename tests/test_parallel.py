@@ -118,28 +118,49 @@ def test_trainer_on_mesh_matches_single_device(box):
     """The REAL SDMMTrainer sharded over 8 devices (GSPMD through the
     unmodified algorithm) is estimator-equivalent to the single-device
     trainer at equal seeds: same film, same trained mixtures up to float
-    reassociation."""
+    reassociation.
+
+    Runs PAST the canBeOptimized gate (total_spp > 12, counts >= 8,
+    cumulative leaf counts >= 64 — reference volpath_sdmm.cpp:140-149):
+    3 iterations x 8 spp so the third optimize() genuinely trains, and
+    the mixture parity below compares EM-updated parameters, not the
+    untouched initialization."""
     from sdmm_tpu.guiding.trainer import SDMMTrainer
 
     scene, cfg = box
     tc = TrainerConfig(
         n_components=8, max_leaves=32, split_threshold=500,
-        samples_per_iteration=2, rays_per_wave=512,
+        samples_per_iteration=8, rays_per_wave=512,
         em=em_mod.EMConfig(batch_size=256),
     )
 
     def run(mesh):
         tr = SDMMTrainer(scene, cfg, tc, mesh=mesh)
-        for _ in range(2):
+        trained = 0
+        for _ in range(3):
             img, sqr, wgt, batches = tr.render_iteration(collect=True)
-            tr.optimize(batches)
+            trained = max(trained, tr.optimize(batches))
             tr.iteration += 1
             tr.total_spp += tc.samples_per_iteration
-        return np.asarray(img), np.asarray(tr.sdmm.weight), np.asarray(
-            tr.initialized)
+        return (np.asarray(img), np.asarray(tr.sdmm.weight),
+                np.asarray(tr.sdmm.mean), np.asarray(tr.initialized),
+                trained, np.asarray(tr.em.iterations))
 
-    img_s, w_s, init_s = run(None)
-    img_m, w_m, init_m = run(make_mesh())
+    img_s, w_s, mu_s, init_s, trained_s, it_s = run(None)
+    img_m, w_m, mu_m, init_m, trained_m, it_m = run(make_mesh())
+    # The gate fired and EM actually ran on some leaves.
+    assert trained_s > 0 and trained_m > 0
+    assert init_s.any() and (it_s[init_s.nonzero()[0][0]] > 0).any()
     np.testing.assert_allclose(img_m, img_s, rtol=2e-3, atol=1e-4)
     np.testing.assert_array_equal(init_m, init_s)
+    # Trained parameters moved away from their initialization...
+    from sdmm_tpu.guiding import init as init_mod_
+
+    tr0 = SDMMTrainer(scene, cfg, tc, mesh=None)
+    w0 = np.asarray(tr0.sdmm.weight)
+    moved = np.abs(w_s[init_s] - w0[init_s]).max()
+    assert moved > 1e-4, "EM left the weights at their init values"
+    # ...and agree across 1 vs 8 devices up to float reassociation.
     np.testing.assert_allclose(w_m, w_s, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(mu_m[init_s], mu_s[init_s], rtol=2e-3,
+                               atol=2e-4)

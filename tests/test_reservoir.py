@@ -85,3 +85,31 @@ def test_trainer_with_reservoir_smoke():
     assert np.isfinite(img).all()
     assert int(trainer.initialized.sum()) > 0
     assert int(trainer.reservoir["valid"].sum()) > 0
+
+
+def test_lookup_pos_carried_through_merge():
+    """Jitter replicas keep their destination leaf: the lookup position
+    (jittered) must survive the merge separately from the EM position
+    (original), so find_leaf(lookup) routes the replica to the
+    neighboring leaf, not back to the source leaf."""
+    import numpy as np
+
+    cap = 64
+    res = make_reservoir(cap)
+    pos = jnp.full((8, 3), 0.25)
+    look = jnp.full((8, 3), 0.75)  # "jittered into the other leaf"
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+    wgt = jnp.ones(8)
+    valid = jnp.ones(8, dtype=bool)
+    res = reservoir_update(res, pos, d, wgt, valid, jax.random.PRNGKey(0),
+                           cap, lookup_pos=look)
+    kept = np.asarray(res["valid"])
+    assert kept.sum() == 8
+    np.testing.assert_allclose(np.asarray(res["pos"])[kept], 0.25)
+    np.testing.assert_allclose(np.asarray(res["lookup_pos"])[kept], 0.75)
+    # Default: lookup_pos follows pos.
+    res2 = reservoir_update(res, pos, d, wgt, valid, jax.random.PRNGKey(1),
+                            cap)
+    kept2 = np.asarray(res2["valid"])
+    both = np.asarray(res2["lookup_pos"])[kept2]
+    assert ((np.isclose(both, 0.75) | np.isclose(both, 0.25)).all())

@@ -68,3 +68,30 @@ def test_grid_lookup_matches_descent():
     slow = np.asarray(_find_leaf_descent(tables, pts))
     assert np.mean(fast == slow) > 0.999  # boundary-ulp mismatches only
     assert np.array_equal(np.sort(np.unique(fast)), np.sort(np.unique(slow)))
+
+
+def test_grid_cap_falls_back_to_descent(monkeypatch):
+    """When the dense grid would exceed the cell cap (deep trees), the
+    tables must omit the grid entirely so find_leaf uses the exact
+    descent — never a silently-approximate shared-cell grid."""
+    from sdmm_tpu.guiding.stree import _find_leaf_descent
+
+    monkeypatch.setattr(STree, "_GRID_CELL_CAP", 1 << 9)
+    t = STree(np.zeros(3), np.ones(3), split_threshold=1)
+    # Recursive refit splits the hot leaf far past 2^9 total cells.
+    t.split_to_depth(2)
+    counts = np.zeros(t.max_leaves)
+    counts[0] = 1 << 14
+    t.refit(counts[: t.n_leaves])
+    assert max(t.depth) > 9  # deep enough that prod(res) > 2^9
+    tables = t.device_tables()
+    assert "grid" not in tables
+    pts = jnp.asarray(np.random.RandomState(3).rand(4096, 3), jnp.float32)
+    fast = np.asarray(find_leaf(tables, pts))
+    slow = np.asarray(_find_leaf_descent(tables, pts))
+    assert np.array_equal(fast, slow)  # exact: same code path
+    # Every point is inside its reported leaf bounds.
+    lo = np.asarray(tables["leaf_lo"])[fast]
+    hi = np.asarray(tables["leaf_hi"])[fast]
+    p = np.asarray(pts)
+    assert (p >= lo - 1e-6).all() and (p <= hi + 1e-6).all()
