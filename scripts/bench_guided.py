@@ -40,34 +40,36 @@ def main():
     tr.run(train_spp, verbose=False)
     t_train = time.perf_counter() - t0
     gs = tr.guide_state()
-    n_leaves = int(tr.tree.n_leaves()) if hasattr(tr.tree, "n_leaves") \
-        else int(len(tr.tree.leaf_ids()))
+    n_leaves = int(tr.tree.n_leaves)
     print(f"trained {train_spp} spp in {t_train:.1f}s", flush=True)
 
     spp = 16
     n_lanes = 1 << 17
 
-    def run(seed):
+    def run(seed, use_kernel):
         return render_pool_guided(
             scene, gs, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
             width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
             rr_depth=cfg.rr_depth, bsdf_fraction=0.5,
             bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis,
+            use_kernel=use_kernel,
         )
 
-    for w in range(2):
-        float(run(w)["n_vertices"])
-    rates = []
-    for i in range(2, 7):
-        t0 = time.perf_counter()
-        out = run(i)
-        nv = float(out["n_vertices"])
-        dt = time.perf_counter() - t0
-        rates.append(nv / dt)
-    rates.sort()
-    med = rates[len(rates) // 2]
-    print(f"guided: {med/1e6:.2f} Mrays/s/chip (steps "
-          f"{float(out['steps']):.0f}, nv {nv/1e6:.1f}M)", flush=True)
+    for use_kernel in (False, True):
+        for w in range(2):
+            float(run(w, use_kernel)["n_vertices"])
+        rates = []
+        for i in range(2, 7):
+            t0 = time.perf_counter()
+            out = run(i, use_kernel)
+            nv = float(out["n_vertices"])
+            dt = time.perf_counter() - t0
+            rates.append(nv / dt)
+        rates.sort()
+        med = rates[len(rates) // 2]
+        label = "pallas-kernel" if use_kernel else "xla"
+        print(f"guided[{label}]: {med/1e6:.2f} Mrays/s/chip (steps "
+              f"{float(out['steps']):.0f}, nv {nv/1e6:.1f}M)", flush=True)
 
 
 if __name__ == "__main__":

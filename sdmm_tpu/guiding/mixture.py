@@ -299,11 +299,18 @@ def conditional_sample(c: Conditional, key) -> jnp.ndarray:
     batch = c.weight.shape[:-1]
     k1, k2 = jax.random.split(key)
     u_sel = jax.random.uniform(k1, batch)
+    u = jax.random.uniform(k2, batch + (2,))
+    return conditional_sample_from_uniforms(c, u_sel, u)
+
+
+def conditional_sample_from_uniforms(c: Conditional, u_sel, u):
+    """conditional_sample with explicit uniforms (u_sel [...], u [..., 2]) —
+    lets the Pallas guided kernel (ops/guided_pallas.py) be parity-tested
+    against this path with identical randoms."""
     cdf = jnp.cumsum(c.weight, axis=-1)
     sel = jnp.sum((u_sel[..., None] > cdf).astype(jnp.int32), axis=-1)
     sel = jnp.clip(sel, 0, c.weight.shape[-1] - 1)
 
-    u = jax.random.uniform(k2, batch + (2,))
     z = warp.square_to_std_normal(u)
     # One-hot contraction instead of take_along_axis: K is small (16) and
     # per-row gathers are ~serial on TPU, while the masked sum vectorizes.

@@ -129,6 +129,8 @@ class SDMMTrainer:
     # ------------------------------------------------------------------
 
     def guide_state(self) -> GuideState:
+        from ..ops import guided_pallas as gp
+
         return GuideState(
             sdmm=self.sdmm, prep=self.prep, initialized=self.initialized,
             tables=self.tables,
@@ -138,6 +140,9 @@ class SDMMTrainer:
             packed=mix.pack_conditioning(
                 self.prep, self.sdmm.weight, self.initialized
             ),
+            kernel_table=gp.pack_guided_rows(
+                self.prep, self.sdmm.weight, self.initialized
+            ).T if self.sdmm.weight.shape[1] == gp.K else None,
         )
 
     def _apply_copies(self, copies):
@@ -176,12 +181,19 @@ class SDMMTrainer:
 
             lanes = min(c.rays_per_wave * 2,
                         n_pix * c.samples_per_iteration)
+            use_kernel = (
+                gs.kernel_table is not None and self.learned is None
+                and jax.default_backend() == "tpu"
+            )
+            if use_kernel:
+                lanes = max(1024, (lanes // 1024) * 1024)
             out = render_pool_guided(
                 scene, gs, base, n_lanes=lanes,
                 spp=c.samples_per_iteration, width=w, height=h,
                 max_depth=rc.max_depth, rr_depth=rc.rr_depth,
                 bsdf_fraction=c.bsdf_fraction,
                 bsdf_types=rc.bsdf_types or None, fov_axis=rc.fov_axis,
+                use_kernel=use_kernel,
             )
             n_paths = max(1, n_pix * c.samples_per_iteration)
             self._last_samples_count = 0

@@ -53,6 +53,9 @@ class GuideState(NamedTuple):
     packed: jnp.ndarray | None = None  # [L, C] row-packed conditioning
     # params (mix.pack_conditioning): ONE wide per-ray gather instead of
     # ten narrow ones — XLA TPU gathers are ~per-row-serial.
+    kernel_table: jnp.ndarray | None = None  # [L, C'] packed rows for the
+    # Pallas guided-sampling kernel (ops/guided_pallas.pack_guided_rows,
+    # transposed): conditioning + sample + pdf fused in VMEM.
 
 
 def canonical(gs: GuideState, p: jnp.ndarray) -> jnp.ndarray:
@@ -343,7 +346,7 @@ _DEPTH_MASK = 0xF
 
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
-    "bsdf_fraction", "bsdf_types", "fov_axis",
+    "bsdf_fraction", "bsdf_types", "fov_axis", "use_kernel",
 ))
 def render_pool_guided(
     scene,
@@ -358,14 +361,29 @@ def render_pool_guided(
     bsdf_fraction: float = 0.5,
     bsdf_types: tuple | None = None,
     fov_axis: str = "x",
+    use_kernel: bool = False,
 ):
     """Guided render of width×height at spp with a regenerating lane pool.
 
     Returns dict(image, sqr, weight [flat n_pix…], n_vertices, steps).
     Estimator-identical to looping trace_wave_guided over waves (same
     one-sample-MIS, same pdf mix), minus the training-sample outputs.
+
+    ``use_kernel``: run conditioning + mixture sample + pdf in the Pallas
+    guided kernel (ops/guided_pallas) instead of the XLA mixture path —
+    TPU only; requires gs.kernel_table and no learned-product sampling.
     """
     from ..scene.sensor import generate_rays
+
+    if use_kernel:
+        assert gs.kernel_table is not None and gs.learned is None
+        assert n_lanes % 1024 == 0, n_lanes
+        from ..ops import guided_pallas as _gp_mod
+
+        _interp = jax.default_backend() != "tpu"
+        gp = type("GP", (), {"guided_sample": staticmethod(
+            lambda *a: _gp_mod.guided_sample(*a, interpret=_interp)
+        )})
 
     n_pix = width * height
     assert n_pix <= _PIX_MASK
@@ -436,66 +454,94 @@ def render_pool_guided(
 
         c_pos = canonical(gs, it["p"])
         leaf = stree.find_leaf(gs.tables, c_pos)
-        weight_g, prep_g, use_guide = _lookup_conditioning(gs, leaf)
-        cond = mix.create_conditional(prep_g, weight_g, c_pos)
         delta_only = bsdf_mod.is_delta_only(params)
-        guide_ok = use_guide & cond.valid & ~delta_only
 
-        if gs.learned is not None:
-            from ..guiding.learned_bsdf import to_world_conditional
+        u_sel = jax.random.uniform(k_sel, (n_lanes,))
+        u1 = jax.random.uniform(k_b1, (n_lanes,))
+        u2 = jax.random.uniform(k_b2, (n_lanes, 2))
+        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n_lanes,))
+        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
+        wo_bsdf_world = to_world(s_ax, t_ax, n_ax, bs["wo"])
 
-            from ..guiding.learned_bsdf import PRODUCT_TOP_K
-
-            learned_cond, has_dmm = to_world_conditional(
-                gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
+        if use_kernel:
+            # Fused Pallas conditioning + sample + pdf: the only [N, K]
+            # work left in XLA is the packed-row gather and a transpose.
+            rows = gs.kernel_table[leaf]  # [N, C] row gather
+            ug = jax.random.uniform(k_g, (3, n_lanes))
+            d_g_t, g_ok, pdf_g, pdf_b, guide_valid = gp.guided_sample(
+                rows.T, c_pos.T, wo_bsdf_world.T, ug
             )
-            # Top-k pruned conditional (reference: create_conditional_pruned
-            # with top_k=2): products are K_guide x 2, not K_guide x K_bsdf.
-            prod = mix.product(
-                cond, mix.prune_conditional(learned_cond, PRODUCT_TOP_K)
-            )
-            use_product = guide_ok & has_dmm & prod.valid
-        else:
+            d_guide = d_g_t.T
+            guide_ok = guide_valid & ~delta_only
+            use_guide = guide_valid  # kernel folds initialized into valid
+            cond_ok_mask = guide_valid
             use_product = jnp.zeros(n_lanes, dtype=bool)
-            prod = None
+            take_bsdf = (u_sel < jnp.where(guide_ok, bsdf_fraction, 1.0)) \
+                | ~guide_ok
+            gmm_pdf = jnp.where(
+                guide_ok, jnp.where(take_bsdf, pdf_b, pdf_g), 0.0
+            )
+        else:
+            weight_g, prep_g, use_guide = _lookup_conditioning(gs, leaf)
+            cond = mix.create_conditional(prep_g, weight_g, c_pos)
+            guide_ok = use_guide & cond.valid & ~delta_only
+            cond_ok_mask = cond.valid
+
+            if gs.learned is not None:
+                from ..guiding.learned_bsdf import to_world_conditional
+
+                from ..guiding.learned_bsdf import PRODUCT_TOP_K
+
+                learned_cond, has_dmm = to_world_conditional(
+                    gs.learned, it["bsdf"], s_ax, t_ax, n_ax, wi_local
+                )
+                # Top-k pruned conditional (reference:
+                # create_conditional_pruned with top_k=2): products are
+                # K_guide x 2, not K_guide x K_bsdf.
+                prod = mix.product(
+                    cond, mix.prune_conditional(learned_cond, PRODUCT_TOP_K)
+                )
+                use_product = guide_ok & has_dmm & prod.valid
+            else:
+                use_product = jnp.zeros(n_lanes, dtype=bool)
+                prod = None
+
+            h0 = jnp.where(guide_ok, bsdf_fraction, 1.0)
+            h0 = jnp.where(use_product, 0.3, h0)
+            take_bsdf = (u_sel < h0) | ~guide_ok
+
+            d_guide, g_ok = mix.conditional_sample(cond, k_g)
+            if prod is not None:
+                d_prod, p_ok = mix.conditional_sample(
+                    prod, jax.random.fold_in(k_g, 1))
+                d_guide = jnp.where(use_product[..., None], d_prod, d_guide)
+                g_ok = jnp.where(use_product, p_ok, g_ok)
 
         cond_try = on_surface & use_guide & ~delta_only
         c["n_cond_try"] = c["n_cond_try"] + jnp.sum(
             cond_try.astype(jnp.float32))
         c["n_cond_ok"] = c["n_cond_ok"] + jnp.sum(
-            (cond_try & cond.valid).astype(jnp.float32))
+            (cond_try & cond_ok_mask).astype(jnp.float32))
 
         h = jnp.where(guide_ok, bsdf_fraction, 1.0)
         h = jnp.where(use_product, 0.3, h)
 
-        u_sel = jax.random.uniform(k_sel, (n_lanes,))
-        take_bsdf = (u_sel < h) | ~guide_ok
-
-        u1 = jax.random.uniform(k_b1, (n_lanes,))
-        u2 = jax.random.uniform(k_b2, (n_lanes, 2))
-        u0 = jax.random.uniform(jax.random.fold_in(k_b1, 7), (n_lanes,))
-        bs = bsdf_mod.sample_full(params, wi_local, u0, u1, u2, types=bsdf_types)
-
-        d_guide, g_ok = mix.conditional_sample(cond, k_g)
-        if prod is not None:
-            d_prod, p_ok = mix.conditional_sample(prod, jax.random.fold_in(k_g, 1))
-            d_guide = jnp.where(use_product[..., None], d_prod, d_guide)
-            g_ok = jnp.where(use_product, p_ok, g_ok)
         wo_guide_local = to_local(s_ax, t_ax, n_ax, d_guide)
-
         wo_local = jnp.where(take_bsdf[..., None], bs["wo"], wo_guide_local)
         wo_world = jnp.where(
-            take_bsdf[..., None], to_world(s_ax, t_ax, n_ax, bs["wo"]), d_guide
+            take_bsdf[..., None], wo_bsdf_world, d_guide
         )
         sampled_delta = take_bsdf & bs["delta"]
 
         f_eval, bsdf_pdf_eval = bsdf_mod.eval_pdf_full(
             params, wi_local, wo_local, types=bsdf_types
         )
-        gmm_pdf = jnp.where(guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
-        if prod is not None:
-            prod_pdf = mix.conditional_pdf(prod, wo_world)
-            gmm_pdf = jnp.where(use_product, prod_pdf, gmm_pdf)
+        if not use_kernel:
+            gmm_pdf = jnp.where(
+                guide_ok, mix.conditional_pdf(cond, wo_world), 0.0)
+            if prod is not None:
+                prod_pdf = mix.conditional_pdf(prod, wo_world)
+                gmm_pdf = jnp.where(use_product, prod_pdf, gmm_pdf)
         mis_pdf = h * bsdf_pdf_eval + (1.0 - h) * gmm_pdf
 
         w_smooth = f_eval / jnp.maximum(mis_pdf, 1e-20)[..., None]

@@ -1,0 +1,163 @@
+"""Parity: ops/guided_pallas.guided_sample (interpret mode) vs the XLA
+mixture path (guiding/mixture.py create_conditional / conditional_sample /
+conditional_pdf) on trained-ish random mixtures with identical uniforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdmm_tpu.guiding import init as init_mod
+from sdmm_tpu.guiding import mixture as mix
+from sdmm_tpu.ops import guided_pallas as gp
+
+
+def _make_state(seed=0, L=8):
+    rs = np.random.RandomState(seed)
+    lo = jnp.asarray(np.zeros((L, 3), np.float32))
+    hi = jnp.asarray((np.ones((L, 3)) * rs.rand(L, 1)).astype(np.float32)
+                     + 0.5)
+    sdmm = init_mod.init_leaf_params(jax.random.PRNGKey(seed), lo, hi, gp.K)
+    # Perturb to an anisotropic, unequal-weight state (EM-like).
+    w = jnp.asarray(rs.dirichlet(np.ones(gp.K), size=L).astype(np.float32))
+    # Kill a couple of components per leaf like the EM does.
+    kill = jnp.asarray(rs.rand(L, gp.K) < 0.2)
+    w = jnp.where(kill, 0.0, w)
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
+    jitter = jnp.asarray(
+        rs.randn(L, gp.K, 5, 5).astype(np.float32) * 0.01)
+    cov = sdmm.cov + 0.5 * (jitter + jnp.swapaxes(jitter, -1, -2))
+    sdmm = sdmm._replace(weight=w, cov=cov)
+    prep = mix.prepare(sdmm)
+    initialized = jnp.asarray(rs.rand(L) < 0.9)
+    return sdmm, prep, initialized
+
+
+def test_guided_kernel_matches_xla_path():
+    L = 8
+    N = 2048  # two lane tiles
+    sdmm, prep, initialized = _make_state(3, L)
+    table = gp.pack_guided_rows(prep, sdmm.weight, initialized)
+    assert table.shape == (gp.N_ROWS, L)
+
+    rs = np.random.RandomState(11)
+    leaf = jnp.asarray(rs.randint(0, L, size=N))
+    pos = jnp.asarray(rs.rand(N, 3).astype(np.float32))
+    wob = rs.randn(N, 3).astype(np.float32)
+    wob = jnp.asarray(wob / np.linalg.norm(wob, axis=-1, keepdims=True))
+    u_sel = jnp.asarray(rs.rand(N).astype(np.float32))
+    u2 = jnp.asarray(rs.rand(N, 2).astype(np.float32))
+
+    # XLA reference path.
+    prep_g = jax.tree.map(lambda x: x[leaf], prep)
+    cond = mix.create_conditional(prep_g, sdmm.weight[leaf], pos)
+    d_ref, ok_ref = mix.conditional_sample_from_uniforms(cond, u_sel, u2)
+    pdf_b_ref = mix.conditional_pdf(cond, wob)
+    valid_ref = np.asarray(cond.valid & initialized[leaf])
+
+    # Kernel path (interpret mode on CPU).
+    rows_t = table[:, leaf]  # [C, N] (test-size gather)
+    u3 = jnp.stack([u_sel, u2[:, 0], u2[:, 1]], axis=0)
+    d_k, ok_k, pdf_g_k, pdf_b_k, valid_k = gp.guided_sample(
+        rows_t, pos.T, wob.T, u3, interpret=True
+    )
+    # pdf parity must be judged at the SAME direction — the two sampled
+    # directions differ by fp32 reassociation, which near a component
+    # boundary shifts the pdf more than the tolerance.
+    pdf_g_ref = mix.conditional_pdf(cond, d_k.T)
+
+    valid_k = np.asarray(valid_k)
+    np.testing.assert_array_equal(valid_k, valid_ref)
+    m = valid_ref
+    assert m.sum() > N // 2  # the comparison is not vacuous
+
+    np.testing.assert_allclose(
+        np.asarray(d_k.T)[m], np.asarray(d_ref)[m], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(ok_k)[m], np.asarray(ok_ref)[m])
+    np.testing.assert_allclose(
+        np.asarray(pdf_b_k)[m], np.asarray(pdf_b_ref)[m],
+        rtol=2e-3, atol=1e-5,
+    )
+    # A conditional mean with mu_dir.z at an ulp of 0 flips the Duff-frame
+    # sign branch between the two implementations, rotating the anisotropic
+    # 2x2 covariance — a measure-zero knife-edge. Allow <=0.2% outliers.
+    a = np.asarray(pdf_g_k)[m]
+    b = np.asarray(pdf_g_ref)[m]
+    close = np.isclose(a, b, rtol=2e-3, atol=1e-5)
+    assert close.mean() > 0.998, (close.mean(), np.abs(a - b).max())
+
+
+def test_guided_kernel_uninitialized_and_empty_leaves():
+    """Leaves with initialized=False or all-dead components must come back
+    guide_valid=False with finite outputs."""
+    L = 4
+    N = 1024
+    sdmm, prep, _ = _make_state(7, L)
+    weight = sdmm.weight.at[2].set(0.0)  # leaf 2: everything dead
+    initialized = jnp.asarray([True, False, True, True])
+    table = gp.pack_guided_rows(prep, weight, initialized)
+
+    rs = np.random.RandomState(5)
+    leaf = jnp.asarray(rs.randint(0, L, size=N))
+    pos = jnp.asarray(rs.rand(N, 3).astype(np.float32))
+    wob = rs.randn(N, 3).astype(np.float32)
+    wob = jnp.asarray(wob / np.linalg.norm(wob, axis=-1, keepdims=True))
+    u3 = jnp.asarray(rs.rand(3, N).astype(np.float32))
+
+    d_k, ok_k, pdf_g, pdf_b, valid_k = gp.guided_sample(
+        table[:, leaf], pos.T, wob.T, u3, interpret=True
+    )
+    valid_k = np.asarray(valid_k)
+    lf = np.asarray(leaf)
+    assert not valid_k[lf == 1].any()
+    assert not valid_k[lf == 2].any()
+    assert valid_k[(lf == 0) | (lf == 3)].mean() > 0.9
+    assert np.isfinite(np.asarray(pdf_g)).all()
+    assert np.isfinite(np.asarray(pdf_b)).all()
+
+
+def test_pool_kernel_matches_xla_pool_estimator():
+    """render_pool_guided(use_kernel=True) is estimator-equivalent to the
+    XLA pool: different random streams, same expectation."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_render import make_box_scene
+    from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
+    from sdmm_tpu.guiding import em as em_mod
+    from sdmm_tpu.render.guided import render_pool_guided
+
+    b = make_box_scene(16, 16)
+    scene, cfg = b.build()
+    cfg.max_depth = 4
+    cfg.rr_depth = 4
+    tc = TrainerConfig(
+        n_components=gp.K, max_leaves=16, samples_per_iteration=8,
+        rays_per_wave=1024, em=em_mod.EMConfig(batch_size=256),
+    )
+    tr = SDMMTrainer(scene, cfg, tc)
+    for _ in range(3):
+        img, sqr, wgt, batches = tr.render_iteration(collect=True)
+        tr.optimize(batches)
+        tr.iteration += 1
+        tr.total_spp += tc.samples_per_iteration
+    gs = tr.guide_state()
+    assert gs.kernel_table is not None
+    assert bool(np.asarray(tr.initialized).any())
+
+    kw = dict(n_lanes=1024, spp=16, width=16, height=16,
+              max_depth=4, rr_depth=4, bsdf_fraction=0.5,
+              bsdf_types=cfg.bsdf_types or None, fov_axis=cfg.fov_axis)
+    out_x = render_pool_guided(scene, gs, jax.random.PRNGKey(3),
+                               use_kernel=False, **kw)
+    out_k = render_pool_guided(scene, gs, jax.random.PRNGKey(3),
+                               use_kernel=True, **kw)
+    ix = np.asarray(out_x["image"]) / np.maximum(
+        np.asarray(out_x["weight"])[:, None], 1.0)
+    ik = np.asarray(out_k["image"]) / np.maximum(
+        np.asarray(out_k["weight"])[:, None], 1.0)
+    assert np.isfinite(ik).all()
+    # Same expectation: mean brightness within MC noise at 16 spp.
+    assert abs(ik.mean() - ix.mean()) / max(ix.mean(), 1e-9) < 0.1, (
+        ik.mean(), ix.mean())
+    # Guided sampling actually engaged in the kernel run.
+    assert float(out_k["n_cond_ok"]) > 0
