@@ -21,7 +21,10 @@ enable_cache()
 import jax  # noqa: E402
 
 from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig  # noqa: E402
-from sdmm_tpu.render.guided import render_pool_guided  # noqa: E402
+from sdmm_tpu.render.guided import (  # noqa: E402
+    guided_fused_supported, render_pool_guided, render_pool_guided_fused,
+    render_pool_guided_striped,
+)
 from sdmm_tpu.scene.xml_loader import load_scene  # noqa: E402
 
 
@@ -43,7 +46,7 @@ def main():
     n_leaves = int(tr.tree.n_leaves)
     print(f"trained {train_spp} spp in {t_train:.1f}s", flush=True)
 
-    spp = 16
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_lanes = 1 << 17
 
     def run(seed, use_kernel):
@@ -55,19 +58,39 @@ def main():
             use_kernel=use_kernel,
         )
 
-    for use_kernel in (False, True):
+    def run_fused(seed):
+        return render_pool_guided_fused(
+            scene, gs, jax.random.PRNGKey(seed), n_lanes=n_lanes, spp=spp,
+            width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth, bsdf_fraction=0.5,
+            bsdf_types=tuple(cfg.bsdf_types), fov_axis=cfg.fov_axis,
+        )
+
+    assert guided_fused_supported(scene, cfg, gs)
+    def run_striped(seed):
+        return render_pool_guided_striped(
+            scene, gs, jax.random.PRNGKey(seed), spp=spp,
+            width=cfg.width, height=cfg.height, max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth, bsdf_fraction=0.5,
+            bsdf_types=tuple(cfg.bsdf_types), fov_axis=cfg.fov_axis,
+        )
+
+    runners = [("xla", lambda s: run(s, False)),
+               ("pallas-kernel", lambda s: run(s, True)),
+               ("fused", run_fused),
+               ("striped", run_striped)]
+    for label, rn in runners:
         for w in range(2):
-            float(run(w, use_kernel)["n_vertices"])
+            float(rn(w)["n_vertices"])
         rates = []
         for i in range(2, 7):
             t0 = time.perf_counter()
-            out = run(i, use_kernel)
+            out = rn(i)
             nv = float(out["n_vertices"])
             dt = time.perf_counter() - t0
             rates.append(nv / dt)
         rates.sort()
         med = rates[len(rates) // 2]
-        label = "pallas-kernel" if use_kernel else "xla"
         print(f"guided[{label}]: {med/1e6:.2f} Mrays/s/chip (steps "
               f"{float(out['steps']):.0f}, nv {nv/1e6:.1f}M)", flush=True)
 

@@ -177,24 +177,38 @@ class SDMMTrainer:
             # regenerating lane pool — dead lanes restart on the next camera
             # sample, so occupancy doesn't decay with the path survival
             # curve (see render/wavefront.py; ~3x on the plain tracer).
-            from ..render.guided import render_pool_guided
+            from ..render.guided import (
+                guided_fused_supported, render_pool_guided,
+                render_pool_guided_fused,
+            )
 
             lanes = min(c.rays_per_wave * 2,
                         n_pix * c.samples_per_iteration)
-            use_kernel = (
-                gs.kernel_table is not None and self.learned is None
-                and jax.default_backend() == "tpu"
-            )
-            if use_kernel:
-                lanes = max(1024, (lanes // 1024) * 1024)
-            out = render_pool_guided(
-                scene, gs, base, n_lanes=lanes,
-                spp=c.samples_per_iteration, width=w, height=h,
-                max_depth=rc.max_depth, rr_depth=rc.rr_depth,
-                bsdf_fraction=c.bsdf_fraction,
-                bsdf_types=rc.bsdf_types or None, fov_axis=rc.fov_axis,
-                use_kernel=use_kernel,
-            )
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and guided_fused_supported(scene, rc, gs):
+                lanes = max(2048, (lanes // 2048) * 2048)
+                out = render_pool_guided_fused(
+                    scene, gs, base, n_lanes=lanes,
+                    spp=c.samples_per_iteration, width=w, height=h,
+                    max_depth=rc.max_depth, rr_depth=rc.rr_depth,
+                    bsdf_fraction=c.bsdf_fraction,
+                    bsdf_types=tuple(rc.bsdf_types), fov_axis=rc.fov_axis,
+                )
+            else:
+                use_kernel = (
+                    gs.kernel_table is not None and self.learned is None
+                    and on_tpu
+                )
+                if use_kernel:
+                    lanes = max(1024, (lanes // 1024) * 1024)
+                out = render_pool_guided(
+                    scene, gs, base, n_lanes=lanes,
+                    spp=c.samples_per_iteration, width=w, height=h,
+                    max_depth=rc.max_depth, rr_depth=rc.rr_depth,
+                    bsdf_fraction=c.bsdf_fraction,
+                    bsdf_types=rc.bsdf_types or None, fov_axis=rc.fov_axis,
+                    use_kernel=use_kernel,
+                )
             n_paths = max(1, n_pix * c.samples_per_iteration)
             self._last_samples_count = 0
             self._last_mean_path_length = float(out["n_vertices"]) / n_paths

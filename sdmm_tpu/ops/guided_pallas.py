@@ -137,12 +137,17 @@ def _log_map_pdf(sx, sy, sz, tx, ty, tz, mx, my, mz,
     return jnp.where(ok, pdf, 0.0)
 
 
-def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
-            dg_ref, pdf_ref):
-    px = pos_ref[0]
-    py = pos_ref[1]
-    pz = pos_ref[2]
+def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
+    """Per-tile guided mixture math on register values.
 
+    ``row``: callable j -> [RT, 128] packed-attribute value (a ref read in
+    the standalone kernel; also usable from the fused guided step kernel).
+    Inputs px..pz canonical position, bx..bz BSDF-sampled world direction,
+    u_* uniforms. Returns (gx, gy, gz, g_ok, pdf_g, pdf_b, cond_valid,
+    initialized) — the sampled direction, its exp-map validity, the K-
+    component conditional pdf at the sampled and at the BSDF direction,
+    conditional validity, and the leaf's initialized flag.
+    """
     # ---- pass 1: spatial marginal weights + conditional tangent means ----
     wt = []
     tm0s = []
@@ -150,25 +155,23 @@ def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
     total = jnp.zeros_like(px)
     for k in range(K):
         b = k * ROWS_PER_K
-        d0 = px - rows_ref[b + 1]
-        d1 = py - rows_ref[b + 2]
-        d2 = pz - rows_ref[b + 3]
-        m00 = rows_ref[b + 4]
-        m10 = rows_ref[b + 5]
-        m11 = rows_ref[b + 6]
-        m20 = rows_ref[b + 7]
-        m21 = rows_ref[b + 8]
-        m22 = rows_ref[b + 9]
+        d0 = px - row(b + 1)
+        d1 = py - row(b + 2)
+        d2 = pz - row(b + 3)
+        m00 = row(b + 4)
+        m10 = row(b + 5)
+        m11 = row(b + 6)
+        m20 = row(b + 7)
+        m21 = row(b + 8)
+        m22 = row(b + 9)
         z0 = m00 * d0
         z1 = m10 * d0 + m11 * d1
         z2 = m20 * d0 + m21 * d1 + m22 * d2
         q = z0 * z0 + z1 * z1 + z2 * z2
         det = m00 * m11 * m22
-        w_k = rows_ref[b + 0] * jnp.exp(-0.5 * q) * det
-        tm0 = (rows_ref[b + 10] * d0 + rows_ref[b + 11] * d1
-               + rows_ref[b + 12] * d2)
-        tm1 = (rows_ref[b + 13] * d0 + rows_ref[b + 14] * d1
-               + rows_ref[b + 15] * d2)
+        w_k = row(b + 0) * jnp.exp(-0.5 * q) * det
+        tm0 = row(b + 10) * d0 + row(b + 11) * d1 + row(b + 12) * d2
+        tm1 = row(b + 13) * d0 + row(b + 14) * d1 + row(b + 15) * d2
         wt.append(w_k)
         tm0s.append(tm0)
         tm1s.append(tm1)
@@ -191,17 +194,13 @@ def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
         rel0 = tm0 * s_
         rel1 = tm1 * s_
         rel2 = jnp.cos(ln)
-        mx = rows_ref[b + 16] * rel0 + rows_ref[b + 17] * rel1 \
-            + rows_ref[b + 18] * rel2
-        my = rows_ref[b + 19] * rel0 + rows_ref[b + 20] * rel1 \
-            + rows_ref[b + 21] * rel2
-        mz = rows_ref[b + 22] * rel0 + rows_ref[b + 23] * rel1 \
-            + rows_ref[b + 24] * rel2
+        mx = row(b + 16) * rel0 + row(b + 17) * rel1 + row(b + 18) * rel2
+        my = row(b + 19) * rel0 + row(b + 20) * rel1 + row(b + 21) * rel2
+        mz = row(b + 22) * rel0 + row(b + 23) * rel1 + row(b + 24) * rel2
         mu.append((mx, my, mz))
         wnorm.append(jnp.where(exp_ok, wt[k] * inv_total, 0.0))
 
     # ---- component selection (CDF; matches mixture.conditional_sample) ----
-    u_sel = u_ref[0]
     cdf = jnp.zeros_like(px)
     sel = jnp.zeros_like(px)  # float count, exact for K <= 16
     for k in range(K):
@@ -222,15 +221,15 @@ def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
         sel_mu_x = sel_mu_x + m * mx
         sel_mu_y = sel_mu_y + m * my
         sel_mu_z = sel_mu_z + m * mz
-        sel_c00 = sel_c00 + m * rows_ref[b + 25]
-        sel_c10 = sel_c10 + m * rows_ref[b + 26]
-        sel_c11 = sel_c11 + m * rows_ref[b + 27]
+        sel_c00 = sel_c00 + m * row(b + 25)
+        sel_c10 = sel_c10 + m * row(b + 26)
+        sel_c11 = sel_c11 + m * row(b + 27)
 
     # ---- Box-Muller sample in the selected component's tangent frame ----
     r = jnp.sqrt(jnp.maximum(
-        0.0, -2.0 * jnp.log(1.0 - jnp.minimum(u_ref[1], 1.0 - 1e-7))
+        0.0, -2.0 * jnp.log(1.0 - jnp.minimum(u_r, 1.0 - 1e-7))
     ))
-    th = 2.0 * PI * u_ref[2]
+    th = 2.0 * PI * u_th
     z0 = r * jnp.sin(th)
     z1 = r * jnp.cos(th)
     t0 = sel_c00 * z0
@@ -248,23 +247,17 @@ def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
     gx = ssx * rel0 + stx * rel1 + sel_mu_x * rel2
     gy = ssy * rel0 + sty * rel1 + sel_mu_y * rel2
     gz = ssz * rel0 + stz * rel1 + sel_mu_z * rel2
-    dg_ref[0] = gx
-    dg_ref[1] = gy
-    dg_ref[2] = gz
 
     # ---- pass 2: mixture pdf at both candidate directions ----
-    bx = wob_ref[0]
-    by = wob_ref[1]
-    bz = wob_ref[2]
     pdf_g = jnp.zeros_like(px)
     pdf_b = jnp.zeros_like(px)
     for k in range(K):
         b = k * ROWS_PER_K
         mx, my, mz = mu[k]
         (sx, sy, sz), (tx, ty, tz) = _coord_system(mx, my, mz)
-        c00 = rows_ref[b + 25]
-        c10 = rows_ref[b + 26]
-        c11 = rows_ref[b + 27]
+        c00 = row(b + 25)
+        c10 = row(b + 26)
+        c11 = row(b + 27)
         i00 = 1.0 / c00
         i11 = 1.0 / c11
         i10 = -c10 * i00 * i11
@@ -276,7 +269,20 @@ def _kernel(rows_ref, pos_ref, wob_ref, u_ref,
             sx, sy, sz, tx, ty, tz, mx, my, mz, bx, by, bz,
             i00, i10, i11, inv_det)
 
-    init = rows_ref[N_ROWS - 1] > 0.5
+    init = row(N_ROWS - 1) > 0.5
+    return gx, gy, gz, g_ok, pdf_g, pdf_b, cond_valid, init
+
+
+def _kernel(rows_ref, pos_ref, wob_ref, u_ref, dg_ref, pdf_ref):
+    gx, gy, gz, g_ok, pdf_g, pdf_b, cond_valid, init = guided_tile(
+        lambda j: rows_ref[j],
+        pos_ref[0], pos_ref[1], pos_ref[2],
+        wob_ref[0], wob_ref[1], wob_ref[2],
+        u_ref[0], u_ref[1], u_ref[2],
+    )
+    dg_ref[0] = gx
+    dg_ref[1] = gy
+    dg_ref[2] = gz
     pdf_ref[0] = jnp.where(g_ok, 1.0, 0.0)
     pdf_ref[1] = pdf_g
     pdf_ref[2] = pdf_b

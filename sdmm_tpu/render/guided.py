@@ -623,3 +623,324 @@ def render_pool_guided(
         "n_cond_try": out["n_cond_try"],
         "n_cond_ok": out["n_cond_ok"],
     }
+
+
+def guided_fused_supported(scene, cfg, gs: GuideState) -> bool:
+    """Host-side gate for the split guided megakernel
+    (ops/guided_step_pallas): same scene class as the unguided fused
+    engine minus NEE-specific limits — in-kernel BSDF types, no textures,
+    constant env only, no media/sss, triangle table within MAX_TRIS."""
+    from ..ops import bounce_pallas as bp
+
+    return bool(
+        gs.kernel_table is not None
+        and gs.learned is None
+        and len(cfg.bsdf_types) > 0
+        and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)
+        and not cfg.has_bump
+        and not cfg.has_medium
+        and not cfg.has_sss
+        and scene.tri_v0.shape[0] <= bp.MAX_TRIS
+        and scene.env_pdf.shape[0] <= 1
+        and scene.pt_pos.shape[0] == 0
+        and scene.textures.shape[1] <= 1
+        and cfg.width * cfg.height <= _PIX_MASK
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
+    "bsdf_fraction", "bsdf_types", "fov_axis", "interpret",
+))
+def render_pool_guided_fused(
+    scene,
+    gs: GuideState,
+    key,
+    n_lanes: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    bsdf_fraction: float = 0.5,
+    bsdf_types: tuple = (0,),
+    fov_axis: str = "x",
+    interpret: bool = False,
+):
+    """Guided pool on the split megakernel: trace kernel -> XLA leaf/row
+    fetch -> shade kernel (ops/guided_step_pallas). Estimator-identical
+    to render_pool_guided; callers must pass guided_fused_supported
+    scenes. Returns the same dict as render_pool_guided."""
+    from ..ops import bounce_pallas as bp
+    from ..ops import guided_step_pallas as gsp
+    from ..scene.sensor import generate_rays
+
+    n_pix = width * height
+    assert n_pix <= _PIX_MASK
+    assert max_depth <= _DEPTH_MASK + 1
+    assert n_lanes % (gsp.RT * 128) == 0, n_lanes
+    total = n_pix * spp
+    r_rows = n_lanes // 128
+    tri_rows, _, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    # bf16 halves the dominant glue traffic (449-float row gather +
+    # transpose); consistency is preserved — the pdf in the MIS weight is
+    # computed from the SAME rounded rows the sample was drawn from, so
+    # the estimator stays unbiased (only guide quality rounds).
+    kt16 = gs.kernel_table.astype(jnp.bfloat16)
+
+    def cond_fn(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    INNER = 4  # bounces per film scatter: the XLA scatter has ~2 ms FLAT
+    # per-call cost (measured: 16k rows costs the same as 131k), so k
+    # bounces batch their splats into ONE k*N-row scatter call.
+
+    def body(c):
+        st = c["state"]  # [16, N]
+        meta = c["meta"]  # [N]
+        pix_list = []
+        row_list = []
+        for j in range(INNER):
+            k = jax.random.fold_in(key, c["step"] * INNER + j)
+            k_regen, k_rand = jax.random.split(k, 2)
+            alive = (meta & _ALIVE) != 0
+            exhausted = (meta & _EXH) != 0
+            pix = meta & _PIX_MASK
+
+            # --- Regenerate dead lanes (global counter) ---
+            need = ~alive & ~exhausted
+            rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+            g = c["cursor"] + rank
+            in_budget = need & (g < total)
+            pix_n = jnp.where(in_budget, g % n_pix, 0)
+            u = jax.random.uniform(k_regen, (n_lanes, 2))
+            px = (pix_n % width).astype(jnp.float32) + u[:, 0]
+            py = (pix_n // width).astype(jnp.float32) + u[:, 1]
+            ro_n, rd_n = generate_rays(
+                scene, jnp.stack([px, py], axis=-1), width, height, fov_axis
+            )
+            start = in_budget
+            exhausted = exhausted | (need & ~in_budget)
+            c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
+            pix = jnp.where(start, pix_n, pix)
+            fresh = jnp.concatenate([
+                ro_n.T, rd_n.T, jnp.ones((3, n_lanes)),
+                jnp.zeros((3, n_lanes)),
+                jnp.ones((1, n_lanes)), jnp.zeros((3, n_lanes)),
+            ], axis=0)
+            st = jnp.where(start[None, :], fresh, st)
+            meta = (
+                pix
+                | jnp.where(alive | start, _ALIVE, 0)
+                | jnp.where(exhausted, _EXH, 0)
+                | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+            )
+
+            # --- Kernel A: trace + emitter accumulate ---
+            st3 = st.reshape(16, r_rows, 128)
+            meta3 = meta.reshape(r_rows, 128)
+            st3, hit = gsp.trace(
+                st3, meta3, tri_rows, env_row, n_tris=n_tris,
+                types=bsdf_types, interpret=interpret,
+            )
+
+            # --- XLA glue: leaf find + packed-row fetch ---
+            hit_f = hit.reshape(gsp.HIT_ROWS, n_lanes)
+            p = hit_f[0:3].T
+            c_pos = canonical(gs, p)
+            leaf = stree.find_leaf(gs.tables, c_pos)
+            rows_t = kt16[leaf].T  # [C, N] bf16
+
+            rand = jax.random.uniform(k_rand, (gsp.RAND_ROWS, r_rows, 128))
+
+            # --- Kernel B: guided + BSDF shade ---
+            st3, meta3, splat = gsp.shade(
+                st3, meta3, hit,
+                c_pos.T.reshape(3, r_rows, 128),
+                rows_t.reshape(gsp.N_ROWS, r_rows, 128),
+                rand, types=bsdf_types, max_depth=max_depth,
+                rr_depth=rr_depth, bsdf_fraction=bsdf_fraction,
+                interpret=interpret,
+            )
+            st = st3.reshape(16, n_lanes)
+            meta = meta3.reshape(n_lanes)
+
+            sp = splat.reshape(gsp.SPLAT_ROWS, n_lanes)
+            c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+            c["n_cond_try"] = c["n_cond_try"] + jnp.sum(sp[8])
+            c["n_cond_ok"] = c["n_cond_ok"] + jnp.sum(sp[9])
+            pix_list.append(pix)
+            row_list.append(
+                jnp.concatenate([sp[0:7].T, jnp.zeros((n_lanes, 1))],
+                                axis=-1))
+        c["state"] = st
+        c["meta"] = meta
+        c["film"] = c["film"].at[jnp.concatenate(pix_list)].add(
+            jnp.concatenate(row_list))
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_pix, 8)),
+        "cursor": jnp.int32(0),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)
+        .at[6:9].set(1.0)
+        .at[12].set(1.0),
+        "meta": jnp.zeros((n_lanes,), jnp.int32),
+        "n_vert": jnp.float32(0.0),
+        "n_cond_try": jnp.float32(0.0),
+        "n_cond_ok": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond_fn, body, init)
+    return {
+        "image": out["film"][:, 0:3],
+        "sqr": out["film"][:, 3:6],
+        "weight": out["film"][:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+        "n_cond_try": out["n_cond_try"],
+        "n_cond_ok": out["n_cond_ok"],
+    }
+
+
+@partial(jax.jit, static_argnames=(
+    "spp", "width", "height", "max_depth", "rr_depth",
+    "bsdf_fraction", "bsdf_types", "fov_axis", "interpret",
+))
+def render_pool_guided_striped(
+    scene,
+    gs: GuideState,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    bsdf_fraction: float = 0.5,
+    bsdf_types: tuple = (0,),
+    fov_axis: str = "x",
+    interpret: bool = False,
+):
+    """Pixel-stationary guided pool on the split megakernel.
+
+    Same trace/shade kernels as render_pool_guided_fused, but lane i owns
+    pixel i with a static spp budget, so the film update is a DENSE
+    per-lane add and regeneration needs no cumsum/global counter — the
+    XLA film scatter cost ~1.8 ms/step (35%) in the compacting variant
+    (same finding as the unguided striped pool, wavefront.py:1106)."""
+    from ..ops import bounce_pallas as bp
+    from ..ops import guided_step_pallas as gsp
+    from ..scene.sensor import generate_rays
+
+    n_pix = width * height
+    tile = gsp.RT_TRACE * 128
+    n_lanes = ((n_pix + tile - 1) // tile) * tile
+    assert max_depth <= _DEPTH_MASK + 1
+    r_rows = n_lanes // 128
+    tri_rows, _, env_row = bp.build_tables(scene)
+    n_tris = scene.tri_v0.shape[0]
+    kt16 = gs.kernel_table.astype(jnp.bfloat16)  # see render_pool_guided_fused
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+    in_image = lane < n_pix
+    px_base = (lane % width).astype(jnp.float32)
+    py_base = (lane // width).astype(jnp.float32)
+
+    # meta reuses the pix field (bits 0..19) as the per-lane sample count.
+    def cond_fn(c):
+        meta = c["meta"]
+        return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+    def body(c):
+        k = jax.random.fold_in(key, c["step"])
+        k_regen, k_rand = jax.random.split(k, 2)
+
+        st = c["state"]  # [16, N]
+        meta = c["meta"]
+        alive = (meta & _ALIVE) != 0
+        exhausted = (meta & _EXH) != 0
+        count = meta & _PIX_MASK
+
+        # --- Regenerate dead lanes on their own pixel (dense) ---
+        need = ~alive & ~exhausted
+        start = need & (count < spp) & in_image
+        exhausted = exhausted | (need & ~start)
+        u = jax.random.uniform(k_regen, (n_lanes, 2))
+        ro_n, rd_n = generate_rays(
+            scene,
+            jnp.stack([px_base + u[:, 0], py_base + u[:, 1]], axis=-1),
+            width, height, fov_axis,
+        )
+        count = jnp.where(start, count + 1, count)
+        fresh = jnp.concatenate([
+            ro_n.T, rd_n.T, jnp.ones((3, n_lanes)), jnp.zeros((3, n_lanes)),
+            jnp.ones((1, n_lanes)), jnp.zeros((3, n_lanes)),
+        ], axis=0)
+        st = jnp.where(start[None, :], fresh, st)
+        meta = (
+            count
+            | jnp.where(alive | start, _ALIVE, 0)
+            | jnp.where(exhausted, _EXH, 0)
+            | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+        )
+
+        st3 = st.reshape(16, r_rows, 128)
+        meta3 = meta.reshape(r_rows, 128)
+        st3, hit = gsp.trace(
+            st3, meta3, tri_rows, env_row, n_tris=n_tris,
+            types=bsdf_types, interpret=interpret,
+        )
+
+        hit_f = hit.reshape(gsp.HIT_ROWS, n_lanes)
+        p = hit_f[0:3].T
+        c_pos = canonical(gs, p)
+        leaf = stree.find_leaf(gs.tables, c_pos)
+        rows_t = kt16[leaf].T  # [C, N] bf16
+
+        rand = jax.random.uniform(k_rand, (gsp.RAND_ROWS, r_rows, 128))
+        st3, meta3, splat = gsp.shade(
+            st3, meta3, hit,
+            c_pos.T.reshape(3, r_rows, 128),
+            rows_t.reshape(gsp.N_ROWS, r_rows, 128),
+            rand, types=bsdf_types, max_depth=max_depth,
+            rr_depth=rr_depth, bsdf_fraction=bsdf_fraction,
+            interpret=interpret,
+        )
+        c["state"] = st3.reshape(16, n_lanes)
+        c["meta"] = meta3.reshape(n_lanes)
+
+        sp = splat.reshape(gsp.SPLAT_ROWS, n_lanes)
+        c["n_vert"] = c["n_vert"] + jnp.sum(sp[7])
+        c["n_cond_try"] = c["n_cond_try"] + jnp.sum(sp[8])
+        c["n_cond_ok"] = c["n_cond_ok"] + jnp.sum(sp[9])
+        # Dense per-lane accumulation — lane == pixel, no scatter.
+        c["film"] = c["film"] + sp[0:7].T
+        c["step"] = c["step"] + 1
+        return c
+
+    init = {
+        "step": jnp.int32(0),
+        "film": jnp.zeros((n_lanes, 7)),
+        "state": jnp.zeros((16, n_lanes))
+        .at[5].set(1.0)
+        .at[6:9].set(1.0)
+        .at[12].set(1.0),
+        "meta": jnp.zeros((n_lanes,), jnp.int32),
+        "n_vert": jnp.float32(0.0),
+        "n_cond_try": jnp.float32(0.0),
+        "n_cond_ok": jnp.float32(0.0),
+    }
+    out = jax.lax.while_loop(cond_fn, body, init)
+    film = out["film"][:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": out["n_vert"],
+        "steps": out["step"],
+        "n_cond_try": out["n_cond_try"],
+        "n_cond_ok": out["n_cond_ok"],
+    }
