@@ -54,10 +54,12 @@ def main():
         scene_dir = os.path.join(args.out, name)
         os.makedirs(scene_dir, exist_ok=True)
 
-        print(f"[{name}] rendering GT @ {args.gt_spp} spp...")
+        print(f"[{name}] rendering GT @ {args.gt_spp} spp...", flush=True)
         t0 = time.time()
-        gt = render(scene, cfg, spp=args.gt_spp, seed=99)
-        gt_img = np.asarray(gt["image"])
+        from sdmm_tpu.render.wavefront import render_wavefront
+
+        gt = render_wavefront(scene, cfg, spp=args.gt_spp, seed=99, nee=True)
+        gt_img = np.asarray(gt["image"])  # already weight-normalized [H,W,3]
         write_exr(os.path.join(scene_dir, "gt.exr"), gt_img)
         print(f"[{name}] GT done in {time.time()-t0:.1f}s")
 
@@ -70,14 +72,24 @@ def main():
                 trainer = SDMMTrainer(scene, cfg, TrainerConfig())
                 img, _ = trainer.run(total_spp=args.spp)
                 stats = trainer.stats
+            elif integ == "ppg":
+                from sdmm_tpu.guiding.ppg import PPGConfig, PPGTrainer
+
+                ppg = PPGTrainer(scene, cfg, PPGConfig())
+                img, _ = ppg.run(total_spp=args.spp)
+                stats = ppg.stats
             else:
-                res = render(scene, cfg, spp=args.spp, seed=1,
-                             nee=(integ in ("gt", "volpath")))
+                res = render_wavefront(scene, cfg, spp=args.spp, seed=1,
+                                       nee=(integ in ("gt", "volpath")))
                 img = np.asarray(res["image"])
                 stats = None
             secs = time.time() - t0
             m = all_metrics(img, gt_img)
             m["seconds"] = secs
+            if stats:
+                for k in ("mean_pixel_variance", "ttuv"):
+                    if k in stats[-1]:
+                        m[k] = stats[-1][k]
             results[name][integ] = m
             write_exr(os.path.join(scene_dir, f"{integ}.exr"), np.asarray(img))
             if stats is not None:

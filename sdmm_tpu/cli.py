@@ -235,13 +235,17 @@ def cmd_render(args):
                 scene, cfg, spp=spp, seed=builder.seed,
                 chain_length=int(props.get("chainLength", 32)),
             )
+        elif integrator == "mlt":
+            # Path-space Veach MLT: explicit-path lens/caustic
+            # perturbations (render/mlt.py; reference mlt.cpp).
+            from .render.mlt import render_mlt
+
+            res = render_mlt(scene, cfg, spp=spp, seed=builder.seed)
         else:
-            # 'mlt' adds the Veach perturbation set (lens/caustic/
-            # bidirectional analogs restated in PSS — see render/pssmlt.py).
             res = psm.render_pssmlt(
                 scene, cfg, spp=spp, seed=builder.seed,
                 p_large=float(props.get("pLarge", 0.3)),
-                mutations="veach" if integrator == "mlt" else "kelemen",
+                mutations="kelemen",
             )
         image = res["image"]
         stats = {"integrator": integrator, "spp": spp,

@@ -64,7 +64,20 @@ def _parse_value(el, variables):
 
 
 def _parse_rgb(text: str) -> np.ndarray:
-    vals = [float(x) for x in re.split(r"[,\s]+", text.strip()) if x]
+    text = text.strip()
+    if text.startswith("#"):
+        # HTML-style hex sRGB (reference: Properties color parsing accepts
+        # '#rrggbb', e.g. test-suite/scenes/bookshelf); linearize like the
+        # reference's sRGB-to-linear conversion (spectrum.h fromSRGB).
+        h = text.lstrip("#")
+        if len(h) == 3:
+            h = "".join(c * 2 for c in h)
+        srgb = np.array([int(h[i:i + 2], 16) for i in (0, 2, 4)]) / 255.0
+        return np.where(
+            srgb <= 0.04045, srgb / 12.92,
+            ((srgb + 0.055) / 1.055) ** 2.4,
+        )
+    vals = [float(x) for x in re.split(r"[,\s]+", text) if x]
     if len(vals) == 1:
         vals = vals * 3
     return np.asarray(vals[:3])

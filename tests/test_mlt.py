@@ -1,0 +1,128 @@
+"""Path-space MLT (render/mlt.py) estimator tests vs path tracing.
+
+Reference: mitsuba/src/integrators/mlt/mlt.cpp — the parity gate is the
+one the reference's own verification implies: the MLT stationary estimate
+must reproduce the (no-NEE) path-traced image including absolute
+brightness (the normalization constant b)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_render import make_box_scene  # noqa: E402
+
+from sdmm_tpu.render.mlt import (  # noqa: E402
+    render_mlt, trace_path_record, path_pt_weight,
+)
+from sdmm_tpu.render.renderer import render  # noqa: E402
+
+
+def _box(mirror=False, w=32, h=32):
+    b = make_box_scene(w, h)
+    if mirror:
+        from sdmm_tpu.scene import shapes as shp
+        from sdmm_tpu.scene.scene import BSDF_CONDUCTOR
+
+        m = b.add_bsdf(BSDF_CONDUCTOR, specular=[0.9, 0.9, 0.9],
+                       eta=0.2, k=[3.0, 3.0, 3.0])
+        # A flat mirror slab just in front of the back wall.
+        t = np.eye(4)
+        t[:3, 3] = [0.4, 0.5, -0.75]
+        t[0, 0] = 0.45
+        t[1, 1] = 0.45
+        b.add_shape(shp.make_rectangle(t), m)
+    scene, cfg = b.build()
+    cfg.max_depth = 5
+    cfg.rr_depth = 5
+    return scene, cfg
+
+
+def test_pt_weight_matches_recorded():
+    """path_pt_weight recomputed from stored geometry equals the weight
+    the recorder accumulated while tracing."""
+    scene, cfg = _box()
+    n = 512
+    key = jax.random.PRNGKey(0)
+    spos = jax.random.uniform(key, (n, 2)) * np.array([32.0, 32.0])
+    path = trace_path_record(scene, jax.random.PRNGKey(1), spos, 32, 32,
+                             cfg.max_depth, tuple(cfg.bsdf_types),
+                             cfg.fov_axis)
+    wl, rgb = path_pt_weight(scene, path, tuple(cfg.bsdf_types))
+    m = np.asarray(path["valid"])
+    assert m.sum() > 15
+    np.testing.assert_allclose(
+        np.asarray(rgb)[m], np.asarray(path["rgb"])[m], rtol=2e-3,
+        atol=1e-5,
+    )
+
+
+def test_mlt_matches_path_tracing_diffuse():
+    scene, cfg = _box()
+    out = render_mlt(scene, cfg, spp=96, seed=3, n_chains=4096)
+    ref = render(scene, cfg, spp=192, seed=7, nee=False)
+    mi = np.asarray(out["image"])
+    ri = np.asarray(ref["image"])
+    assert np.isfinite(mi).all()
+    # Absolute brightness (tests the normalization constant b).
+    assert abs(mi.mean() - ri.mean()) / ri.mean() < 0.1, (
+        mi.mean(), ri.mean())
+    # Block-level structure.
+    bm = mi.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    br = ri.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    rel = np.abs(bm - br) / np.maximum(br, 0.05)
+    assert np.median(rel) < 0.25, np.median(rel)
+
+
+def test_mlt_matches_path_tracing_mirror():
+    """Glossy/specular scene: lens mutations must re-trace through the
+    delta chain correctly (the VERDICT round-2 'mlt distinct from pssmlt'
+    gate names a glossy scene)."""
+    scene, cfg = _box(mirror=True)
+    out = render_mlt(scene, cfg, spp=96, seed=5, n_chains=4096)
+    ref = render(scene, cfg, spp=192, seed=11, nee=False)
+    mi = np.asarray(out["image"])
+    ri = np.asarray(ref["image"])
+    assert np.isfinite(mi).all()
+    assert abs(mi.mean() - ri.mean()) / ri.mean() < 0.12, (
+        mi.mean(), ri.mean())
+    bm = mi.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    br = ri.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    rel = np.abs(bm - br) / np.maximum(br, 0.05)
+    assert np.median(rel) < 0.3, np.median(rel)
+
+
+def test_mlt_caustic_scene():
+    """Glass slab over the floor under the area light: E D S S D ... L
+    caustic transport exercises retrace_down through refraction."""
+    from sdmm_tpu.scene import shapes as shp
+    from sdmm_tpu.scene.scene import BSDF_DIELECTRIC
+
+    b = make_box_scene(32, 32)
+    g = b.add_bsdf(BSDF_DIELECTRIC, specular=[1.0, 1.0, 1.0],
+                   albedo=[1.0, 1.0, 1.0], eta=1.5)
+    t = np.eye(4)
+    t[:3, 3] = [0.0, 0.45, 0.2]
+    t[0, 0] = t[2, 2] = 0.35
+    # Horizontal glass pane (rotate the rectangle to face up).
+    rx = np.eye(4)
+    a = np.deg2rad(-90.0)
+    rx[1:3, 1:3] = [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]
+    b.add_shape(shp.make_rectangle(t @ rx), g)
+    scene, cfg = b.build()
+    cfg.max_depth = 6
+    cfg.rr_depth = 6
+
+    out = render_mlt(scene, cfg, spp=96, seed=9, n_chains=4096)
+    ref = render(scene, cfg, spp=256, seed=13, nee=False)
+    mi = np.asarray(out["image"])
+    ri = np.asarray(ref["image"])
+    assert np.isfinite(mi).all()
+    assert abs(mi.mean() - ri.mean()) / ri.mean() < 0.15, (
+        mi.mean(), ri.mean())
+    bm = mi.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    br = ri.mean(-1).reshape(8, 4, 8, 4).mean((1, 3))
+    rel = np.abs(bm - br) / np.maximum(br, 0.05)
+    assert np.median(rel) < 0.35, np.median(rel)
