@@ -793,7 +793,11 @@ def render_mlt(scene, cfg, spp: int = 16, seed: int = 1234,
     w = boot["wlum"]
     b = float(jnp.mean(w))
     if b <= 0.0:
-        return {"image": np.zeros((height, width, 3), np.float32)}
+        # No bootstrap path found an emitter (e.g. env-only scenes —
+        # environment transport is not in the unidirectional MLT subspace
+        # yet; use pssmlt for those).
+        return {"image": np.zeros((height, width, 3), np.float32),
+                "b": 0.0}
     idx = jax.random.categorical(
         k2, jnp.log(jnp.maximum(w, 1e-30)), shape=(n_chains,))
     paths = jax.tree.map(lambda a: a[idx], boot)
