@@ -36,10 +36,16 @@ def sample_vndf(wi: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray) -> jnp.ndar
     v = jnp.stack(
         [alpha * wi[..., 0], alpha * wi[..., 1], wi[..., 2]], axis=-1
     )
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    # Double-where guards: the unselected branches of the wheres below
+    # must stay NaN/inf-free under reverse-mode AD w.r.t. alpha
+    # (d inv_sqrt at the epsilon floor otherwise overflows and poisons
+    # the masked branch — the classic where-gradient trap).
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / jnp.where(vn > 1e-12, vn, 1.0)
     # Orthonormal basis around v.
     lensq = v[..., 0] ** 2 + v[..., 1] ** 2
-    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    len_safe = jnp.where(lensq > 1e-12, lensq, 1.0)
+    inv_len = 1.0 / jnp.sqrt(len_safe)
     t1 = jnp.where(
         (lensq > 1e-12)[..., None],
         jnp.stack([-v[..., 1] * inv_len, v[..., 0] * inv_len, jnp.zeros_like(inv_len)], axis=-1),
@@ -59,7 +65,8 @@ def sample_vndf(wi: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray) -> jnp.ndar
     m = jnp.stack(
         [alpha * n[..., 0], alpha * n[..., 1], jnp.maximum(n[..., 2], 0.0)], axis=-1
     )
-    return m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    mn = jnp.linalg.norm(m, axis=-1, keepdims=True)
+    return m / jnp.where(mn > 1e-12, mn, 1.0)
 
 
 def vndf_pdf(wi: jnp.ndarray, m: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:

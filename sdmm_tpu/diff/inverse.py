@@ -102,3 +102,79 @@ def optimize_parameter(
         param, state, loss = step(param, state, k)
         losses.append(float(loss))
     return param, losses
+
+
+def make_render_fn_multi(scene, cfg, pixel_idx, param_names, spp: int = 4,
+                         nee: bool = True, ray_sharding=None):
+    """fn(params dict, key) → per-pixel radiance, differentiable in every
+    entry of ``params``. ``ray_sharding``: optional NamedSharding for the
+    camera-sample batch — gradients then run under GSPMD over the mesh
+    (the BASELINE multi-device gradient-parity target)."""
+    w, h = cfg.width, cfg.height
+
+    @jax.jit
+    def render(params, key):
+        s = scene._replace(**params)
+        acc = jnp.zeros((pixel_idx.shape[0], 3))
+        for i in range(spp):
+            k = jax.random.fold_in(key, i)
+            kj, kt = jax.random.split(k)
+            u = jax.random.uniform(kj, (pixel_idx.shape[0], 2))
+            px = (pixel_idx % w).astype(jnp.float32) + u[:, 0]
+            py = (pixel_idx // w).astype(jnp.float32) + u[:, 1]
+            if ray_sharding is not None:
+                px = jax.lax.with_sharding_constraint(px, ray_sharding)
+                py = jax.lax.with_sharding_constraint(py, ray_sharding)
+            ro, rd = generate_rays(s, jnp.stack([px, py], axis=-1), w, h,
+                                   cfg.fov_axis)
+            li = trace_wave(
+                s, kt, ro, rd, max_depth=cfg.max_depth,
+                rr_depth=cfg.rr_depth, nee=nee,
+                bsdf_types=cfg.bsdf_types or None,
+            )
+            acc = acc + li
+        return acc / spp
+
+    return render
+
+
+def optimize_parameters(
+    scene, cfg, target_image, param_names, init_values,
+    steps: int = 60, lr: float = 5e-2, spp: int = 4, seed: int = 0,
+    pixel_idx=None,
+):
+    """Joint Adam inverse rendering over several scene parameters (e.g.
+    albedo + GGX roughness — the BASELINE.md target configuration).
+    Returns (dict of optimized values, loss history)."""
+    n_pix = cfg.width * cfg.height
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    render = make_render_fn_multi(scene, cfg, pixel_idx, param_names,
+                                  spp=spp)
+    target = target_image.reshape(-1, 3)[pixel_idx]
+
+    opt = optax.adam(lr)
+    params = dict(init_values)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        def loss_fn(p):
+            img = render(p, key)
+            return jnp.mean((img - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        params = optax.apply_updates(params, updates)
+        # Keep roughness in its valid range.
+        if "bsdf_alpha" in params:
+            params["bsdf_alpha"] = jnp.clip(params["bsdf_alpha"],
+                                            1e-3, 1.0)
+        return params, state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(seed)
+    for i in range(steps):
+        params, state, loss = step(params, state, key)
+        losses.append(float(loss))
+    return params, losses

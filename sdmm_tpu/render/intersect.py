@@ -41,7 +41,12 @@ def _mt_chunk(ro, rd, v0, e1, e2, t_max):
     py = rdz * e2x - rdx * e2z
     pz = rdx * e2y - rdy * e2x
     det = e1x * px + e1y * py + e1z * pz
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    # Double-where: 1/det for near-parallel rays must stay finite in the
+    # BACKWARD pass too (reverse-mode of the unselected branch otherwise
+    # overflows and poisons gradients w.r.t. ray direction — hit when
+    # differentiating roughness through the sampled bounce direction).
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     tx = rox - v0x
     ty = roy - v0y
     tz = roz - v0z
@@ -287,7 +292,9 @@ def apply_bumpmap(scene, it: dict) -> jnp.ndarray:
     duv1 = uv_flat[:, 2:4] - uv_flat[:, 0:2]
     duv2 = uv_flat[:, 4:6] - uv_flat[:, 0:2]
     det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)[:, None]
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(
+        det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)[:, None]
     dpdu = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv_det
     dpdv = (-duv2[:, 0:1] * e1 + duv1[:, 0:1] * e2) * inv_det
 

@@ -28,6 +28,32 @@ from . import intersect as isect
 RAY_EPS = 1e-4
 
 
+@jax.custom_vjp
+def _clean_cotangent(x):
+    """Identity whose BACKWARD strips non-finite cotangents.
+
+    Reverse-mode differentiation of scene parameters that steer sampled
+    directions (GGX roughness through the VNDF warp) flows cotangents
+    back through the NEXT bounce's intersection geometry; edge-on hits
+    there produce isolated inf cotangents (measure-zero boundary terms
+    the interior-term estimator does not model) that would otherwise
+    poison the shared parameter gradient. Forward values and well-behaved
+    lanes' gradients are untouched; forward-mode (jvp) is exact either
+    way."""
+    return x
+
+
+def _clean_fwd(x):
+    return x, None
+
+
+def _clean_bwd(_, g):
+    return (jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0),)
+
+
+_clean_cotangent.defvjp(_clean_fwd, _clean_bwd)
+
+
 def mi_weight(pdf_a, pdf_b):
     """Power heuristic (beta=2), as the reference's miWeight."""
     a2 = pdf_a * pdf_a
@@ -286,7 +312,8 @@ def trace_wave(
         )
 
         offset_sign = jnp.where(wo_dot_geo > 0, RAY_EPS, -RAY_EPS)
-        ro_next = it["p"] + it["ng"] * offset_sign[..., None]
+        wo_world = _clean_cotangent(wo_world)
+        ro_next = _clean_cotangent(it["p"] + it["ng"] * offset_sign[..., None])
         next_pdf = bs["pdf"]
         next_delta = bs["delta"]
         if has_medium:
