@@ -35,15 +35,18 @@ INV_TWO_PI = 0.15915494309189535  # (1/sqrt(2pi))^2
 _SINC_EPS = 1e-4
 
 K = 16  # components per leaf (reference: sdmm_proc.h:55)
-ROWS_PER_K = 28
-# Per-component row layout (offsets within a component's 28-row block):
+ROWS_PER_K = 22
+# Per-component row layout (offsets within a component's 22-row block):
 #  0      weight * prep.valid
 #  1-3    mu_a (spatial mean)
 #  4-9    marg_inv_chol lower (m00, m10, m11, m20, m21, m22)
 #  10-15  premult [2, 3] row-major
-#  16-24  rot [3, 3] row-major (columns s, t, mu)
-#  25-27  cond_chol lower (c00, c10, c11)
-N_ROWS = K * ROWS_PER_K + 1  # + initialized flag row = 449
+#  16-18  mu_dir (unit mean direction; the tangent frame is rebuilt
+#         in-kernel via the same Duff construction as make_rotation —
+#         3 rows instead of the 9-row rotation matrix, 21% less glue
+#         traffic per lane)
+#  19-21  cond_chol lower (c00, c10, c11)
+N_ROWS = K * ROWS_PER_K + 1  # + initialized flag row = 353
 
 RT = 8  # sublane rows per lane tile -> RT*128 = 1024 lanes/tile
 
@@ -73,9 +76,10 @@ def pack_guided_rows(prep, weight: jnp.ndarray,
             prep.premult[:, k, 1, 0], prep.premult[:, k, 1, 1],
             prep.premult[:, k, 1, 2],
         ]
-        for i in range(3):
-            for j in range(3):
-                rows.append(prep.rot[:, k, i, j])
+        # Unit mean direction; rot = make_rotation(mu_dir) is rebuilt
+        # in-kernel (rot columns are the Duff frame of mu_dir).
+        rows += [prep.rot[:, k, 0, 2], prep.rot[:, k, 1, 2],
+                 prep.rot[:, k, 2, 2]]
         rows += [
             prep.cond_chol[:, k, 0, 0],
             prep.cond_chol[:, k, 1, 0],
@@ -194,9 +198,14 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         rel0 = tm0 * s_
         rel1 = tm1 * s_
         rel2 = jnp.cos(ln)
-        mx = row(b + 16) * rel0 + row(b + 17) * rel1 + row(b + 18) * rel2
-        my = row(b + 19) * rel0 + row(b + 20) * rel1 + row(b + 21) * rel2
-        mz = row(b + 22) * rel0 + row(b + 23) * rel1 + row(b + 24) * rel2
+        mdx = row(b + 16)
+        mdy = row(b + 17)
+        mdz = row(b + 18)
+        (csx, csy, csz), (ctx, cty, ctz) = _coord_system(mdx, mdy, mdz)
+        # d = R @ rel with columns (s, t, mu_dir).
+        mx = csx * rel0 + ctx * rel1 + mdx * rel2
+        my = csy * rel0 + cty * rel1 + mdy * rel2
+        mz = csz * rel0 + ctz * rel1 + mdz * rel2
         mu.append((mx, my, mz))
         wnorm.append(jnp.where(exp_ok, wt[k] * inv_total, 0.0))
 
@@ -221,9 +230,9 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         sel_mu_x = sel_mu_x + m * mx
         sel_mu_y = sel_mu_y + m * my
         sel_mu_z = sel_mu_z + m * mz
-        sel_c00 = sel_c00 + m * row(b + 25)
-        sel_c10 = sel_c10 + m * row(b + 26)
-        sel_c11 = sel_c11 + m * row(b + 27)
+        sel_c00 = sel_c00 + m * row(b + 19)
+        sel_c10 = sel_c10 + m * row(b + 20)
+        sel_c11 = sel_c11 + m * row(b + 21)
 
     # ---- Box-Muller sample in the selected component's tangent frame ----
     r = jnp.sqrt(jnp.maximum(
@@ -255,9 +264,9 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         b = k * ROWS_PER_K
         mx, my, mz = mu[k]
         (sx, sy, sz), (tx, ty, tz) = _coord_system(mx, my, mz)
-        c00 = row(b + 25)
-        c10 = row(b + 26)
-        c11 = row(b + 27)
+        c00 = row(b + 19)
+        c10 = row(b + 20)
+        c11 = row(b + 21)
         i00 = 1.0 / c00
         i11 = 1.0 / c11
         i10 = -c10 * i00 * i11
