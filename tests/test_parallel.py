@@ -122,22 +122,28 @@ def test_trainer_on_mesh_matches_single_device(box):
 
     Runs PAST the canBeOptimized gate (total_spp > 12, counts >= 8,
     cumulative leaf counts >= 64 — reference volpath_sdmm.cpp:140-149):
-    3 iterations x 8 spp so the third optimize() genuinely trains, and
+    2 iterations x 16 spp so the second optimize() genuinely trains, and
     the mixture parity below compares EM-updated parameters, not the
     untouched initialization."""
     from sdmm_tpu.guiding.trainer import SDMMTrainer
 
+    # Free accumulated executables first: under the full suite this test
+    # otherwise segfaults XLA-CPU on the 2-vCPU host (memory pressure).
+    jax.clear_caches()
+
     scene, cfg = box
     tc = TrainerConfig(
         n_components=8, max_leaves=32, split_threshold=500,
-        samples_per_iteration=8, rays_per_wave=512,
+        samples_per_iteration=16, rays_per_wave=512,
         em=em_mod.EMConfig(batch_size=256),
     )
 
     def run(mesh):
         tr = SDMMTrainer(scene, cfg, tc, mesh=mesh)
         trained = 0
-        for _ in range(3):
+        # 2 iterations x 16 spp: the second optimize sees total_spp = 16
+        # > 12, so the canBeOptimized gate fires and EM genuinely runs.
+        for _ in range(2):
             img, sqr, wgt, batches = tr.render_iteration(collect=True)
             trained = max(trained, tr.optimize(batches))
             tr.iteration += 1
