@@ -113,14 +113,23 @@ def trace_wave_guided(
         # le at vertex d+1 for the last recorded vertex's incident
         # radiance; that extra vertex must NOT contribute to the image
         # (reference: the Li loop breaks at depth > maxDepth, :649).
+        # le_eff folds the environment radiance of escaped rays in, so the
+        # recorded vertex radiance sees env light too (reference:
+        # rayIntersectAndLookForEmitter handles envmaps, sdmm_proc.cpp:995).
         in_depth = depth < max_depth
+        # Path-length numerator BEFORE the hit mask: each live step is one
+        # increment of the reference's rRec.depth — a hit counts the
+        # surface vertex, a miss counts the terminal escape segment
+        # (reference avgPathLength += rRec.depth, sdmm_proc.cpp:873-874).
+        n_vert_step = jnp.sum((active & in_depth).astype(jnp.float32))
         le = emitters.eval_emitter(scene, it, -rd)
-        li = li + jnp.where((active & in_depth)[..., None], throughput * le, 0.0)
-        le_out = jnp.where(active[..., None], le, 0.0)
-        li = li + jnp.where(
-            (active & in_depth & ~hit["valid"])[..., None],
-            throughput * emitters.env_eval(scene, rd), 0.0,
+        le_eff = le + jnp.where(
+            hit["valid"][..., None], 0.0, emitters.env_eval(scene, rd)
         )
+        li = li + jnp.where(
+            (active & in_depth)[..., None], throughput * le_eff, 0.0
+        )
+        le_out = jnp.where(active[..., None], le_eff, 0.0)
         active = active & hit["valid"]
 
         params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
@@ -253,6 +262,7 @@ def trace_wave_guided(
             "normal": normal,
             "n_cond_try": jnp.sum(cond_try.astype(jnp.float32)),
             "n_cond_ok": jnp.sum(cond_ok.astype(jnp.float32)),
+            "n_vert": n_vert_step,
         }
         return (ro_next, wo_world, throughput, eta_sq, active_next, li), outs
 
@@ -306,6 +316,7 @@ def trace_wave_guided(
     samples = {
         "n_cond_try": jnp.sum(outs["n_cond_try"]),
         "n_cond_ok": jnp.sum(outs["n_cond_ok"]),
+        "n_vertices": jnp.sum(outs["n_vert"]),
         "pos": jnp.nan_to_num(safe_pos, nan=0.5, posinf=0.5, neginf=0.5).reshape(-1, 3),
         "dir": safe_dir.reshape(-1, 3),
         "normal": jnp.nan_to_num(outs["normal"][:d_slots]).reshape(-1, 3),
@@ -347,6 +358,7 @@ _DEPTH_MASK = 0xF
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
     "bsdf_fraction", "bsdf_types", "fov_axis", "use_kernel",
+    "collect_cap", "saved_samples_per_path",
 ))
 def render_pool_guided(
     scene,
@@ -362,6 +374,8 @@ def render_pool_guided(
     bsdf_types: tuple | None = None,
     fov_axis: str = "x",
     use_kernel: bool = False,
+    collect_cap: int = 0,
+    saved_samples_per_path: int = 8,
 ):
     """Guided render of width×height at spp with a regenerating lane pool.
 
@@ -369,11 +383,36 @@ def render_pool_guided(
     Estimator-identical to looping trace_wave_guided over waves (same
     one-sample-MIS, same pdf mix), minus the training-sample outputs.
 
-    ``use_kernel``: run conditioning + mixture sample + pdf in the Pallas
-    guided kernel (ops/guided_pallas) instead of the XLA mixture path —
-    TPU only; requires gs.kernel_table and no learned-product sampling.
+    ``use_kernel``: run conditioning + sample + pdf in the Pallas guided
+    kernel (ops/guided_pallas) instead of the XLA mixture path — TPU
+    only; requires gs.kernel_table and no learned-product sampling.
+
+    ``collect_cap`` > 0 additionally records training vertex samples (the
+    pooled replacement for the scan tracer's sample output — VERDICT r3
+    item #1; reference: in-loop vertex recording, sdmm_proc.cpp:876-965).
+    Instead of per-lane vertex rings flushed at path death, each recorded
+    vertex is emitted IMMEDIATELY into a ``[collect_cap, 16]`` buffer with
+    its (canonical pos, direction, clamped pdf, post-vertex throughput,
+    radiance-so-far snapshot, path id, per-path vertex seq); a second
+    ``[n_paths, 3]`` buffer logs each path's final training radiance at
+    death. The vertex incident radiance is then reconstructed OUTSIDE the
+    loop from the telescoping identity
+        I_d = (L_path − L_snap_d) / thr_d
+    (componentwise; thr_d is the throughput that multiplies all later
+    emitter hits), which equals the scan tracer's backward recursion
+    le_{d+1} + w_{d+1}·I_{d+1} — except that RR survival compensation
+    (1/q) IS included here (the standard unbiased estimator; the scan
+    omits it — only affects vertices deeper than rr_depth). Paths run one
+    extra bounce past max_depth for the last vertex's radiance target,
+    exactly like the scan; the extra vertex never reaches the image.
+    Returns an extra ``samples`` dict (pos/dir/weight/valid/terminal)
+    shaped ``[collect_cap]`` plus ``n_emitted`` for overflow accounting.
     """
     from ..scene.sensor import generate_rays
+
+    COLLECT = collect_cap > 0
+    extra = 1 if COLLECT else 0
+    S = saved_samples_per_path
 
     if use_kernel:
         assert gs.kernel_table is not None and gs.learned is None
@@ -421,13 +460,20 @@ def render_pool_guided(
         exhausted = exhausted | (need & ~in_budget)
         c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
         pix = jnp.where(start, pix_n, pix)
+        ncols = _NCOLS + (3 if COLLECT else 0)
         fresh = jnp.concatenate([
             ro_n, rd_n, jnp.ones((n_lanes, 3)), jnp.zeros((n_lanes, 3)),
             jnp.ones((n_lanes, 1)),
-        ], axis=-1)
+        ] + ([jnp.zeros((n_lanes, 3))] if COLLECT else []), axis=-1)
         st = jnp.where(start[:, None], fresh, st)
         depth0 = jnp.where(start, 0, depth0)
         alive = alive | start
+        if COLLECT:
+            # path id = the global sample counter value assigned at regen;
+            # indexes the per-path final-radiance buffer.
+            c["path_id"] = jnp.where(start, jnp.where(in_budget, g, 0),
+                                     c["path_id"])
+            c["seq"] = jnp.where(start, 0, c["seq"])
 
         ro = st[:, _RO]
         rd = st[:, _RD]
@@ -437,14 +483,23 @@ def render_pool_guided(
         hit = intersect(scene, ro, rd)
         it = surface_interaction(scene, ro, rd, hit)
 
+        # in_img: vertices past max_depth exist only as training-radiance
+        # targets (the scan's extra step); they never reach the image.
+        in_img = depth0 < max_depth
         le = emitters.eval_emitter(scene, it, -rd)
-        li = st[:, _LI] + jnp.where(alive[:, None], thr * le, 0.0)
+        env = emitters.env_eval(scene, rd)
+        li = st[:, _LI] + jnp.where((alive & in_img)[:, None], thr * le, 0.0)
         escaped = alive & ~hit["valid"]
-        li = li + jnp.where(
-            escaped[:, None], thr * emitters.env_eval(scene, rd), 0.0
-        )
+        li = li + jnp.where((escaped & in_img)[:, None], thr * env, 0.0)
+        if COLLECT:
+            le_eff = le + jnp.where(hit["valid"][:, None], 0.0, env)
+            lt = st[:, _NCOLS:] + jnp.where(alive[:, None], thr * le_eff, 0.0)
         on_surface = alive & hit["valid"]
-        c["n_vert"] = c["n_vert"] + jnp.sum(on_surface).astype(jnp.float32)
+        # Each live step increments the path length (hit = surface vertex,
+        # miss = terminal escape segment) — matches the reference's
+        # rRec.depth accounting (avgPathLength, sdmm_proc.cpp:873-874).
+        c["n_vert"] = c["n_vert"] + jnp.sum(alive & in_img).astype(
+            jnp.float32)
 
         params = bsdf_mod.gather_params(scene, it["bsdf"], it["uv"], types=bsdf_types)
         s_ax, t_ax, n_ax = shading_frame(params, it["ns"], -rd)
@@ -517,7 +572,7 @@ def render_pool_guided(
                 d_guide = jnp.where(use_product[..., None], d_prod, d_guide)
                 g_ok = jnp.where(use_product, p_ok, g_ok)
 
-        cond_try = on_surface & use_guide & ~delta_only
+        cond_try = on_surface & in_img & use_guide & ~delta_only
         c["n_cond_try"] = c["n_cond_try"] + jnp.sum(
             cond_try.astype(jnp.float32))
         c["n_cond_ok"] = c["n_cond_ok"] + jnp.sum(
@@ -558,7 +613,7 @@ def render_pool_guided(
         ok_sample = ok_sample & ~(wo_dot_geo * wo_local[..., 2] <= 0.0)
 
         depth = depth0 + 1
-        survive = on_surface & ok_sample & (depth < max_depth)
+        survive = on_surface & ok_sample & (depth < max_depth + extra)
         thr_next = thr * jnp.where(survive[:, None], bweight, 1.0)
         eta_sq = st[:, _ETA2] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
 
@@ -572,6 +627,29 @@ def render_pool_guided(
             (do_rr & survive)[:, None],
             thr_next / jnp.maximum(q, 1e-6)[:, None], thr_next,
         )
+
+        if COLLECT:
+            # Emit this vertex's training record NOW; incident radiance is
+            # reconstructed post-loop from the path-radiance buffer. The
+            # recorded throughput is post-RR thr_next: the factor that
+            # multiplies every later emitter hit (telescoping identity).
+            rec = on_surface & ok_sample & ~sampled_delta & in_img
+            clamped_pdf = jnp.maximum(mis_pdf, PDF_CLAMP)
+            rrank = jnp.cumsum(rec.astype(jnp.int32)) - 1
+            sidx = c["samp_cursor"] + rrank
+            ok_emit = rec & (sidx < collect_cap)
+            srow = jnp.concatenate([
+                c_pos, wo_world, clamped_pdf[:, None], thr_next, lt,
+                c["path_id"].astype(jnp.float32)[:, None],
+                c["seq"].astype(jnp.float32)[:, None],
+                jnp.zeros((n_lanes, 1)),
+            ], axis=-1)
+            c["samp"] = c["samp"].at[
+                jnp.where(ok_emit, sidx, collect_cap)
+            ].set(srow, mode="drop")
+            c["samp_cursor"] = c["samp_cursor"] + jnp.sum(
+                rec.astype(jnp.int32))
+            c["seq"] = jnp.where(rec, c["seq"] + 1, c["seq"])
 
         # --- Terminate finished paths: fused film scatter ---
         done = alive & ~survive
@@ -587,8 +665,15 @@ def render_pool_guided(
         ro_next = it["p"] + it["ng"] * jnp.where(
             wo_dot_geo > 0, RAY_EPS, -RAY_EPS
         )[:, None]
+        if COLLECT:
+            # Path death → log final training radiance for reconstruction.
+            lt_s = jnp.nan_to_num(lt, nan=0.0, posinf=0.0, neginf=0.0)
+            c["path_rad"] = c["path_rad"].at[
+                jnp.where(done, c["path_id"], total)
+            ].set(lt_s, mode="drop")
         c["state"] = jnp.concatenate(
-            [ro_next, wo_world, thr_next, li, eta_sq[:, None]], axis=-1
+            [ro_next, wo_world, thr_next, li, eta_sq[:, None]]
+            + ([lt] if COLLECT else []), axis=-1
         )
         depth_packed = jnp.where(survive, depth, 0) & _DEPTH_MASK
         c["meta"] = (
@@ -604,7 +689,7 @@ def render_pool_guided(
         "step": jnp.int32(0),
         "film": jnp.zeros((n_pix, 8)),
         "cursor": jnp.int32(0),
-        "state": jnp.zeros((n_lanes, _NCOLS))
+        "state": jnp.zeros((n_lanes, _NCOLS + (3 if COLLECT else 0)))
         .at[:, 5].set(1.0)
         .at[:, _THR].set(1.0)
         .at[:, _ETA2].set(1.0),
@@ -613,8 +698,16 @@ def render_pool_guided(
         "n_cond_try": jnp.float32(0.0),
         "n_cond_ok": jnp.float32(0.0),
     }
+    if COLLECT:
+        init.update({
+            "path_id": jnp.zeros((n_lanes,), jnp.int32),
+            "seq": jnp.zeros((n_lanes,), jnp.int32),
+            "samp": jnp.zeros((collect_cap, 16)),
+            "samp_cursor": jnp.int32(0),
+            "path_rad": jnp.zeros((total, 3)),
+        })
     out = jax.lax.while_loop(cond_fn, body, init)
-    return {
+    res = {
         "image": out["film"][:, 0:3],
         "sqr": out["film"][:, 3:6],
         "weight": out["film"][:, 6],
@@ -622,6 +715,65 @@ def render_pool_guided(
         "steps": out["step"],
         "n_cond_try": out["n_cond_try"],
         "n_cond_ok": out["n_cond_ok"],
+    }
+    if COLLECT:
+        res["samples"] = _finalize_collect(
+            out["samp"], out["path_rad"], out["samp_cursor"],
+            out["n_cond_try"], out["n_cond_ok"], out["n_vert"], S,
+        )
+        res["n_emitted"] = out["samp_cursor"]
+    return res
+
+
+def _finalize_collect(samp, path_rad, cursor, n_cond_try, n_cond_ok,
+                      n_vert, S):
+    """Reconstruct per-vertex training weights from the emitted records +
+    per-path final radiance (see render_pool_guided docstring). Output
+    layout matches trace_wave_guided's samples dict."""
+    cap = samp.shape[0]
+    total = path_rad.shape[0]
+    filled = jnp.arange(cap) < jnp.minimum(cursor, cap)
+    pos = samp[:, 0:3]
+    dirs = samp[:, 3:6]
+    pdf = samp[:, 6]
+    thr = samp[:, 7:10]
+    lsnap = samp[:, 10:13]
+    pid = samp[:, 13].astype(jnp.int32)
+    seq = samp[:, 14]
+
+    rad = path_rad[pid]
+    diff = rad - lsnap
+    # Channels with exactly-zero throughput carry no later contribution
+    # (diff is 0 there too up to fp noise): incident 0, like the scan.
+    inc = jnp.where(thr > 0.0, diff / jnp.where(thr > 0.0, thr, 1.0), 0.0)
+    w = jnp.mean(inc, axis=-1) / jnp.maximum(pdf, PDF_CLAMP)
+
+    # Last-S-of-path cap (reference: firstSaved = max(depth − S, 0),
+    # sdmm_proc.cpp:916-918 — over recorded vertices, not valid ones).
+    seq_max = jnp.full((total,), -1.0).at[
+        jnp.where(filled, pid, total)
+    ].max(jnp.where(filled, seq, -1.0), mode="drop")
+    smax = seq_max[pid]
+    keep = filled & (seq >= smax + 1.0 - S)
+    valid = keep & jnp.isfinite(w) & (w >= 0.0)
+    # Terminal = last VALID vertex of its path (gets the jitter replica,
+    # reference sdmm_proc.cpp:932).
+    vseq_max = jnp.full((total,), -1.0).at[
+        jnp.where(valid, pid, total)
+    ].max(jnp.where(valid, seq, -1.0), mode="drop")
+    terminal = valid & (seq == vseq_max[pid])
+
+    safe_pos = jnp.where(valid[:, None], pos, 0.5)
+    safe_dir = jnp.where(valid[:, None], dirs, jnp.array([0.0, 0.0, 1.0]))
+    return {
+        "n_cond_try": n_cond_try,
+        "n_cond_ok": n_cond_ok,
+        "n_vertices": n_vert,
+        "pos": jnp.nan_to_num(safe_pos, nan=0.5, posinf=0.5, neginf=0.5),
+        "dir": safe_dir,
+        "weight": jnp.where(valid, w, -1.0),
+        "valid": valid,
+        "terminal": terminal,
     }
 
 

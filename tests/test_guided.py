@@ -136,6 +136,70 @@ def test_pool_guided_matches_scan_estimator(trained):
     assert rel < 0.1, (pool_img.mean(), scan_img.mean())
 
 
+def test_pooled_collector_matches_scan_samples(trained):
+    """The pooled training collector (render_pool_guided collect_cap) must
+    produce the same training-sample population as the scan tracer: per-leaf
+    sample-count histogram, valid-sample count, mean radiance weight and
+    terminal-vertex count all agree within MC tolerance at equal spp.
+    rr_depth > max_depth so the estimators are identical (the pooled
+    collector includes RR 1/q compensation in vertex radiance; the scan
+    does not — see render_pool_guided docstring)."""
+    scene, cfg, trainer, combined, iters = trained
+    from sdmm_tpu.render.guided import render_pool_guided, trace_wave_guided
+    from sdmm_tpu.scene.sensor import generate_rays
+    from sdmm_tpu.guiding.stree import find_leaf
+
+    gs = trainer.guide_state()
+    w = h = 24
+    n = w * h
+    spp = 32
+    md, rr = cfg.max_depth, cfg.max_depth + 4
+
+    pos_l, wt_l, val_l, term_l = [], [], [], []
+    for s in range(spp):
+        k = jax.random.fold_in(jax.random.PRNGKey(7), s)
+        u = jax.random.uniform(k, (n, 2))
+        px = (jnp.arange(n) % w).astype(jnp.float32) + u[:, 0]
+        py = (jnp.arange(n) // w).astype(jnp.float32) + u[:, 1]
+        ro, rd = generate_rays(scene, jnp.stack([px, py], -1), w, h,
+                               cfg.fov_axis)
+        _, smp = trace_wave_guided(
+            scene, gs, jax.random.fold_in(k, 1), ro, rd,
+            max_depth=md, rr_depth=rr, bsdf_types=cfg.bsdf_types or None)
+        pos_l.append(smp["pos"])
+        wt_l.append(smp["weight"])
+        val_l.append(smp["valid"])
+        term_l.append(smp["terminal"])
+    sp = jnp.concatenate(pos_l)
+    sw = jnp.concatenate(wt_l)
+    sv = jnp.concatenate(val_l)
+    stm = jnp.concatenate(term_l)
+
+    out = render_pool_guided(
+        scene, gs, jax.random.PRNGKey(3), n_lanes=2048, spp=spp,
+        width=w, height=h, max_depth=md, rr_depth=rr,
+        bsdf_types=cfg.bsdf_types or None, collect_cap=1 << 17)
+    pm = out["samples"]
+
+    def agg(pos, wgt, val, term):
+        leaf = find_leaf(trainer.tables, pos)
+        cnts = np.asarray(jnp.zeros(trainer.cfg.max_leaves, jnp.int32)
+                          .at[leaf].add(val.astype(jnp.int32)))
+        nval = float(val.sum())
+        return nval, float(jnp.where(val, wgt, 0).sum()) / nval, \
+            float(term.sum()), cnts / max(cnts.sum(), 1)
+
+    n1, m1, t1, h1 = agg(sp, sw, sv, stm)
+    n2, m2, t2, h2 = agg(pm["pos"], pm["weight"], pm["valid"],
+                         pm["terminal"])
+    assert abs(n1 - n2) / n1 < 0.05, (n1, n2)
+    assert abs(m1 - m2) / abs(m1) < 0.05, (m1, m2)
+    assert abs(t1 - t2) / t1 < 0.05, (t1, t2)
+    assert np.abs(h1 - h2).sum() < 0.1
+    # Actual traced vertices (mean-path-length numerator) are reported.
+    assert float(out["n_vertices"]) > n2
+
+
 def test_guided_depth_gating_matches_volpath():
     """The guided scan runs one extra step for training targets (le at
     vertex max_depth+1); that vertex must NOT contribute to the image —
