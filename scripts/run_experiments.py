@@ -30,6 +30,15 @@ def main():
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--height", type=int, default=90)
     ap.add_argument("--out", default="results")
+    ap.add_argument("--tail-chunk", type=int, default=64,
+                    help="post-training chunk spp for sdmm (0 = per-4spp "
+                    "iterations like the reference cadence)")
+    ap.add_argument("--max-depth", type=int, default=0,
+                    help="override scene maxDepth (reference protocol: 10; "
+                    "0 keeps the scene default — NOTE the r3 protocol ran "
+                    "at cornell-box's scene default maxDepth=2 because "
+                    "this flag did not exist)")
+    ap.add_argument("--rr-depth", type=int, default=0)
     args = ap.parse_args()
 
     from sdmm_tpu.utils.cache import enable as enable_cache
@@ -51,6 +60,10 @@ def main():
         })
         scene, cfg = builder.build()
         cfg.width, cfg.height = args.width, args.height
+        if args.max_depth > 0:
+            cfg.max_depth = args.max_depth
+        if args.rr_depth > 0:
+            cfg.rr_depth = args.rr_depth
         scene_dir = os.path.join(args.out, name)
         os.makedirs(scene_dir, exist_ok=True)
 
@@ -66,10 +79,12 @@ def main():
         results[name] = {}
         for integ in args.integrators.split(","):
             t0 = time.time()
+            spi = 4  # reference cadence: 4 spp / iteration
             if integ == "sdmm":
                 from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
 
-                trainer = SDMMTrainer(scene, cfg, TrainerConfig())
+                trainer = SDMMTrainer(scene, cfg, TrainerConfig(
+                    tail_chunk_spp=args.tail_chunk))
                 img, _ = trainer.run(total_spp=args.spp)
                 stats = trainer.stats
             elif integ == "ppg":
@@ -90,6 +105,18 @@ def main():
                 for k in ("mean_pixel_variance", "ttuv"):
                     if k in stats[-1]:
                         m[k] = stats[-1][k]
+            elif integ != "gt" and "sqr" in res:
+                # ttuv for the unguided baselines too (VERDICT r3 #1): the
+                # variance a 4-spp iteration of this estimator would have
+                # (var of an n-sample mean scales 1/n) x wall seconds.
+                n = np.maximum(np.asarray(res["weight"]), 1.0)[..., None]
+                mean = np.asarray(res["raw"]) / n
+                var = np.maximum(
+                    np.asarray(res["sqr"]) / n - mean * mean, 0.0
+                ) / np.maximum(n - 1, 1)
+                mpv = float(var.mean()) * float(n.mean()) / spi
+                m["mean_pixel_variance"] = mpv
+                m["ttuv"] = mpv * secs
             results[name][integ] = m
             write_exr(os.path.join(scene_dir, f"{integ}.exr"), np.asarray(img))
             if stats is not None:

@@ -73,6 +73,7 @@ def _chol_safe(cov: jnp.ndarray, alive: jnp.ndarray):
     return chol, ok & alive
 
 
+@jax.jit
 def prepare(m: SDMM) -> Prepared:
     alive = m.weight > 0.0
     rot = tg.make_rotation(m.mean[..., 3:6])
@@ -223,6 +224,7 @@ def create_conditional(prep_g, weight_g, pos) -> Conditional:
     )
 
 
+@jax.jit
 def pack_conditioning(prep: Prepared, weight: jnp.ndarray,
                       initialized: jnp.ndarray) -> jnp.ndarray:
     """Row-pack everything ``create_conditional`` needs into one [L, C]

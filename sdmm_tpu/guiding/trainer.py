@@ -360,54 +360,84 @@ class SDMMTrainer:
                 )
             terminal = jnp.concatenate([s["terminal"] for s in sample_batches])
             n_rep = terminal.astype(jnp.int32) + (wgt > 1000.0).astype(jnp.int32)
-            lo = self.tables["leaf_lo"][leaf]
-            hi = self.tables["leaf_hi"][leaf]
-            diag = hi - lo
             k_j = jax.random.fold_in(
                 jax.random.PRNGKey(c.seed ^ 0x9E37), self.iteration
             )
 
-            def _dest_leaf(key):
-                """First-success-of-8-attempts destination leaf per sample.
-                Returns (leaf, jittered position that found it)."""
-                offs = (jax.random.uniform(key, (8,) + pos.shape) - 0.5) * diag
-                cand_pos = (pos + offs).reshape(-1, 3)
+            def _compact(mask, rcap, *arrays):
+                """Fixed-size scatter-compaction of rows where ``mask``;
+                returns (filled [rcap] bool, compacted arrays). Avoids
+                running the 8-attempt jitter find_leaf over the FULL
+                buffer: only ~1 row per path needs a replica. All arrays
+                are packed into ONE wide f32 scatter (XLA TPU scatters
+                cost ~15 ns per ROW regardless of width)."""
+                rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+                idx = jnp.where(mask & (rank < rcap), rank, rcap)
+                nfill = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), rcap)
+                filled = jnp.arange(rcap) < nfill
+                cols = [a[:, None] if a.ndim == 1 else a for a in arrays]
+                widths = [c.shape[1] for c in cols]
+                packed = jnp.concatenate(
+                    [c.astype(jnp.float32) for c in cols], axis=1)
+                buf = jnp.zeros((rcap, packed.shape[1]))
+                buf = buf.at[idx].set(packed, mode="drop")
+                outs, off = [], 0
+                for a, wd in zip(arrays, widths):
+                    sl = buf[:, off:off + wd]
+                    if a.ndim == 1:
+                        sl = sl[:, 0]
+                    outs.append(sl.astype(a.dtype))
+                    off += wd
+                return filled, outs
+
+            def _dest_leaf(key, cpos, cleaf, cdiag):
+                """First-success-of-8-attempts destination leaf per sample
+                (reference: 8 retries, sdmm_proc.cpp:941-957). Returns
+                (leaf, jittered position that found it)."""
+                offs = (jax.random.uniform(key, (8,) + cpos.shape) - 0.5) \
+                    * cdiag
+                cand_pos = (cpos + offs).reshape(-1, 3)
                 cand = find_leaf(self.tables, cand_pos).reshape(8, -1)
-                ok = cand != leaf
+                ok = cand != cleaf
                 first = jnp.argmax(ok, axis=0)
                 got = jnp.take_along_axis(ok, first[None], axis=0)[0]
                 dest = jnp.take_along_axis(cand, first[None], axis=0)[0]
                 dpos = jnp.take_along_axis(
                     cand_pos.reshape(8, -1, 3), first[None, :, None], axis=0
                 )[0]
-                return (jnp.where(got, dest, leaf),
-                        jnp.where(got[:, None], dpos, pos))
+                return (jnp.where(got, dest, cleaf),
+                        jnp.where(got[:, None], dpos, cpos))
 
+            diag = self.tables["leaf_hi"][leaf] - self.tables["leaf_lo"][leaf]
             k1, k2 = jax.random.split(k_j)
-            reps = []
-            for r, kr in ((0, k1), (1, k2)):
-                leaf_r, pos_r = _dest_leaf(kr)
-                keep = valid & (n_rep > r) & (leaf_r != leaf)
-                reps.append((keep, leaf_r, pos_r))
-            pos = jnp.concatenate(
-                [pos] + [jnp.where(k_[:, None], pos, 0.5) for k_, _, _ in reps]
-            )
-            # Replicas keep the ORIGINAL sample position for EM, but their
-            # leaf lookup goes through the jittered position so the
-            # destination-leaf assignment survives reservoir merges and
-            # tree refits.
-            lookup_pos = jnp.concatenate(
-                [lookup_pos]
-                + [jnp.where(k_[:, None], p_, 0.5) for k_, _, p_ in reps]
-            )
-            d = jnp.concatenate([d] * (1 + len(reps)))
-            wgt = jnp.concatenate(
-                [wgt] + [jnp.where(k_, wgt, -1.0) for k_, _, _ in reps]
-            )
-            leaf = jnp.concatenate(
-                [leaf] + [jnp.where(k_, l_, 0) for k_, l_, _ in reps]
-            )
-            valid = jnp.concatenate([valid] + [k_ for k_, _, _ in reps])
+            n_rows = pos.shape[0]
+            parts = {"pos": [pos], "lk": [lookup_pos], "d": [d],
+                     "w": [wgt], "leaf": [leaf], "v": [valid]}
+            # Round 0: the path-terminal replica (~1/path); round 1: the
+            # rare extra replica for weight > 1000 samples.
+            for r, kr, rcap in ((0, k1, max(1024, n_rows // 3)),
+                                (1, k2, max(1024, n_rows // 32))):
+                mask = valid & (n_rep > r)
+                filled, (cpos, cd, cw, cleaf, cdiag) = _compact(
+                    mask, rcap, pos, d, wgt, leaf, diag)
+                leaf_r, pos_r = _dest_leaf(kr, cpos, cleaf, cdiag)
+                keep = filled & (leaf_r != cleaf)
+                # Replicas keep the ORIGINAL sample position for EM, but
+                # their leaf lookup goes through the jittered position so
+                # the destination-leaf assignment survives reservoir
+                # merges and tree refits.
+                parts["pos"].append(jnp.where(keep[:, None], cpos, 0.5))
+                parts["lk"].append(jnp.where(keep[:, None], pos_r, 0.5))
+                parts["d"].append(cd)
+                parts["w"].append(jnp.where(keep, cw, -1.0))
+                parts["leaf"].append(jnp.where(keep, leaf_r, 0))
+                parts["v"].append(keep)
+            pos = jnp.concatenate(parts["pos"])
+            lookup_pos = jnp.concatenate(parts["lk"])
+            d = jnp.concatenate(parts["d"])
+            wgt = jnp.concatenate(parts["w"])
+            leaf = jnp.concatenate(parts["leaf"])
+            valid = jnp.concatenate(parts["v"])
 
         # Prioritized replay: merge into the fixed-capacity reservoir and fit
         # the EM on its (decayed, RR-downsampled) contents.

@@ -232,10 +232,13 @@ def sort_and_tile(pos, d, weight, leaf, n_leaves: int, cap: int):
 
     order = jnp.argsort(leaf_eff, stable=True)
     cap_tiles = cap // TILE + L + 1
-    rows = jnp.stack(
+    # Sample-major [N, 8] layout: the reorder below is then a ROW gather
+    # (~15 ns/row on TPU) instead of an attribute-major column gather,
+    # which XLA lowers ~10x slower (measured 320 -> ~60 ms at 3.2M rows).
+    rows_nm = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         jnp.where(valid, weight, 0.0), jnp.zeros_like(weight)], axis=0
-    )[:, order]
+         jnp.where(valid, weight, 0.0), jnp.zeros_like(weight)], axis=1
+    )
 
     # tile_leaf[t] = leaf whose run covers tile t; dummy tiles -> L.
     n_used = tile_off[L]
@@ -254,8 +257,13 @@ def sort_and_tile(pos, d, weight, leaf, n_leaves: int, cap: int):
     fill = (within >= 0) & (within < counts[slot_leaf]) \
         & ((slot // TILE) < n_used)
     src = jnp.where(fill, start_orig[slot_leaf] + within, s)
-    buf = jnp.take(rows, src, axis=1, mode="fill", fill_value=0.0)
-    samples = buf.reshape(_ROWS, cap_tiles, 8, 128)
+    # Compose sort ∘ pad into ONE sample-major row gather: slot ->
+    # original sample index (an int gather), then [N, 8] row gather +
+    # transpose back to attribute-major.
+    osrc = jnp.take(order, jnp.minimum(src, s - 1), mode="clip")
+    osrc = jnp.where(fill, osrc, s)
+    buf = jnp.take(rows_nm, osrc, axis=0, mode="fill", fill_value=0.0)
+    samples = buf.T.reshape(_ROWS, cap_tiles, 8, 128)
 
     wgt = jnp.where(valid, weight, 0.0)
     weight_sum = jnp.zeros(L).at[leaf_eff].add(

@@ -51,9 +51,13 @@ N_ROWS = K * ROWS_PER_K + 1  # + initialized flag row = 353
 RT = 8  # sublane rows per lane tile -> RT*128 = 1024 lanes/tile
 
 
+@jax.jit
 def pack_guided_rows(prep, weight: jnp.ndarray,
                      initialized: jnp.ndarray) -> jnp.ndarray:
     """[L]-leaf conditioning table → [N_ROWS, L] attribute-major rows.
+
+    jitted: the ~353 tiny stacked slices would otherwise dispatch eagerly
+    (~2 ms/dispatch through the TPU relay ⇒ ~1 s per call — measured).
 
     The row gather per lane then happens in XLA ([L, C] row gather is fast
     on TPU; the transpose back to [C, N] feeds this kernel).

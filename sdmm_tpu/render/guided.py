@@ -355,12 +355,51 @@ _PIX_MASK = (1 << 20) - 1
 _DEPTH_MASK = 0xF
 
 
+def render_pool_guided(
+    scene,
+    gs: GuideState,
+    key,
+    n_lanes: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    bsdf_fraction: float = 0.5,
+    bsdf_types: tuple | None = None,
+    fov_axis: str = "x",
+    use_kernel: bool = False,
+    collect_cap: int = 0,
+    saved_samples_per_path: int = 8,
+):
+    """See _render_pool_guided_impl. This wrapper keeps the sample
+    finalization in a SEPARATE jit: inside one jit, XLA's layout
+    assignment gave the [cap,16] sample buffer an attribute-major {0,1}
+    layout (driven by the finalize column slices), which made the
+    per-step emission scatter touch 16 tiles per row — 12.4 ms/step
+    measured vs 1.3 ms for the row-major film scatter. The jit boundary
+    pins the buffers to standard row-major layouts."""
+    out = dict(_render_pool_guided_impl(
+        scene, gs, key, n_lanes, spp, width, height, max_depth, rr_depth,
+        bsdf_fraction, bsdf_types, fov_axis, use_kernel, collect_cap,
+        saved_samples_per_path,
+    ))
+    if collect_cap > 0:
+        samp, path_rad, cursor = out.pop("_collect_raw")
+        out["samples"] = _finalize_collect(
+            samp, path_rad, cursor, out["n_cond_try"], out["n_cond_ok"],
+            out["n_vertices"], saved_samples_per_path,
+        )
+        out["n_emitted"] = cursor
+    return out
+
+
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
     "bsdf_fraction", "bsdf_types", "fov_axis", "use_kernel",
     "collect_cap", "saved_samples_per_path",
 ))
-def render_pool_guided(
+def _render_pool_guided_impl(
     scene,
     gs: GuideState,
     key,
@@ -628,11 +667,23 @@ def render_pool_guided(
             thr_next / jnp.maximum(q, 1e-6)[:, None], thr_next,
         )
 
+        # --- Terminate finished paths: fused film scatter ---
+        done = alive & ~survive
+        li_s = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
+        val = jnp.where(done[:, None], li_s, 0.0)
+        row = jnp.concatenate(
+            [val, val * val,
+             done.astype(jnp.float32)[:, None],
+             jnp.zeros((n_lanes, 1))], axis=-1,
+        )
         if COLLECT:
             # Emit this vertex's training record NOW; incident radiance is
             # reconstructed post-loop from the path-radiance buffer. The
             # recorded throughput is post-RR thr_next: the factor that
             # multiplies every later emitter hit (telescoping identity).
+            # (Measured: one combined 3N-row scatter into a merged buffer
+            # is SLOWER than these three separate calls — scatter cost
+            # scales with index rows, not calls, at this size.)
             rec = on_surface & ok_sample & ~sampled_delta & in_img
             clamped_pdf = jnp.maximum(mis_pdf, PDF_CLAMP)
             rrank = jnp.cumsum(rec.astype(jnp.int32)) - 1
@@ -650,27 +701,15 @@ def render_pool_guided(
             c["samp_cursor"] = c["samp_cursor"] + jnp.sum(
                 rec.astype(jnp.int32))
             c["seq"] = jnp.where(rec, c["seq"] + 1, c["seq"])
-
-        # --- Terminate finished paths: fused film scatter ---
-        done = alive & ~survive
-        li_s = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
-        val = jnp.where(done[:, None], li_s, 0.0)
-        row = jnp.concatenate(
-            [val, val * val,
-             done.astype(jnp.float32)[:, None],
-             jnp.zeros((n_lanes, 1))], axis=-1,
-        )
+            lt_s = jnp.nan_to_num(lt, nan=0.0, posinf=0.0, neginf=0.0)
+            c["path_rad"] = c["path_rad"].at[
+                jnp.where(done, c["path_id"], total)
+            ].set(lt_s, mode="drop")
         c["film"] = c["film"].at[pix].add(row)
 
         ro_next = it["p"] + it["ng"] * jnp.where(
             wo_dot_geo > 0, RAY_EPS, -RAY_EPS
         )[:, None]
-        if COLLECT:
-            # Path death → log final training radiance for reconstruction.
-            lt_s = jnp.nan_to_num(lt, nan=0.0, posinf=0.0, neginf=0.0)
-            c["path_rad"] = c["path_rad"].at[
-                jnp.where(done, c["path_id"], total)
-            ].set(lt_s, mode="drop")
         c["state"] = jnp.concatenate(
             [ro_next, wo_world, thr_next, li, eta_sq[:, None]]
             + ([lt] if COLLECT else []), axis=-1
@@ -717,14 +756,12 @@ def render_pool_guided(
         "n_cond_ok": out["n_cond_ok"],
     }
     if COLLECT:
-        res["samples"] = _finalize_collect(
-            out["samp"], out["path_rad"], out["samp_cursor"],
-            out["n_cond_try"], out["n_cond_ok"], out["n_vert"], S,
-        )
-        res["n_emitted"] = out["samp_cursor"]
+        res["_collect_raw"] = (out["samp"], out["path_rad"],
+                               out["samp_cursor"])
     return res
 
 
+@partial(jax.jit, static_argnames=("S",))
 def _finalize_collect(samp, path_rad, cursor, n_cond_try, n_cond_ok,
                       n_vert, S):
     """Reconstruct per-vertex training weights from the emitted records +

@@ -10,13 +10,22 @@ from sdmm_tpu.guiding.ppg import (
     RES,
     cell_to_dir,
     dir_to_cell,
-    histogram_pdf,
-    histogram_sample,
+    grid_pdf,
+    grid_sample,
+    project_adaptive,
 )
 from sdmm_tpu.core.frame import normalize
 from sdmm_tpu.guiding import ppg
 
 from test_render import make_box_scene
+
+
+def _per_ray(eff, leaf, d):
+    """Gather the pdf row for directions d under projected table eff."""
+    eff2d = eff.reshape(-1, RES)
+    ct, _ = ppg.dir_to_uv(d)
+    y = jnp.clip((ct * RES).astype(jnp.int32), 0, RES - 1)
+    return eff2d[leaf * RES + y]
 
 
 def test_cell_mapping_roundtrip():
@@ -30,27 +39,60 @@ def test_cell_mapping_roundtrip():
     np.testing.assert_array_equal(np.asarray(cell), np.asarray(cell2))
 
 
-def test_histogram_pdf_normalized():
+def test_projected_pdf_normalized():
+    """The adaptive-projected pdf integrates to 1 over the sphere."""
     key = jax.random.PRNGKey(1)
     hist = jax.random.uniform(key, (1, RES * RES))
-    # Dense integration over the sphere.
+    eff, eff_row, total = project_adaptive(hist, rho=0.01)
     n = 200_000
     i = np.arange(n) + 0.5
     phi = np.pi * (1 + 5**0.5) * i
     z = 1 - 2 * i / n
     r = np.sqrt(np.maximum(0, 1 - z * z))
-    dirs = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], -1), jnp.float32)
-    hist_g = jnp.broadcast_to(hist[0], (n, RES * RES))
-    pdf = histogram_pdf(hist_g, dirs)
+    dirs = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], -1),
+                       jnp.float32)
+    leaf = jnp.zeros((n,), jnp.int32)
+    rows = _per_ray(eff, leaf, dirs)
+    pdf = grid_pdf(rows, total[leaf], dirs)
     integral = float(jnp.mean(pdf) * 4 * np.pi)
     assert abs(integral - 1.0) < 0.02, integral
 
 
-def test_histogram_sample_matches_distribution():
-    hist = jnp.zeros((RES * RES,)).at[37].set(3.0).at[100].set(1.0)
+def test_projection_rho0_is_identity():
+    """rho=0 subdivides everything -> projected table == raw histogram."""
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.gamma(0.3, size=(8, RES * RES)).astype(np.float32))
+    eff, eff_row, total = project_adaptive(h, rho=0.0)
+    np.testing.assert_allclose(np.asarray(eff), np.asarray(h), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(total), np.asarray(h.sum(-1)),
+                               rtol=2e-4)
+
+
+def test_projection_pools_dim_regions():
+    """Low-flux regions inherit their stopped ancestor's pooled average
+    (the reference's unrefined-node uniform pdf)."""
+    row = np.full((RES, RES), 1e-4, np.float32)
+    row[0, 0] = 100.0
+    h = jnp.asarray(row.reshape(1, -1))
+    eff, _, total = project_adaptive(h, rho=0.01)
+    e = np.asarray(eff).reshape(RES, RES)
+    # The dim quadrant far from the bright cell is uniform — pooling
+    # preserves its (uniform) value.
+    np.testing.assert_allclose(e[RES // 2:, RES // 2:], 1e-4, rtol=1e-3)
+    # Total flux is conserved by the projection.
+    np.testing.assert_allclose(float(e.sum()), float(np.asarray(h).sum()),
+                               rtol=1e-4)
+    # The bright cell keeps (at least) its subdivided own mass.
+    assert e[0, 0] > 50.0
+
+
+def test_grid_sample_matches_distribution():
+    hist = jnp.zeros((1, RES * RES)).at[0, 37].set(3.0).at[0, 100].set(1.0)
+    eff, eff_row, total = project_adaptive(hist, rho=0.0)
     n = 40_000
-    hist_g = jnp.broadcast_to(hist, (n, RES * RES))
-    d = histogram_sample(hist_g, jax.random.PRNGKey(2))
+    leaf = jnp.zeros((n,), jnp.int32)
+    d = grid_sample(eff.reshape(-1, RES), eff_row[leaf],
+                    leaf, jax.random.PRNGKey(2))
     cells = np.asarray(dir_to_cell(d))
     frac37 = (cells == 37).mean()
     frac100 = (cells == 100).mean()
@@ -58,12 +100,65 @@ def test_histogram_sample_matches_distribution():
     assert abs(frac100 - 0.25) < 0.02, frac100
 
 
+def test_grid_sample_matches_adaptive_pdf():
+    """Chi-square: two-stage CDF sampling vs the adaptive projected pdf."""
+    from sdmm_tpu.utils.chisquare import chi2_test
+
+    rng = np.random.default_rng(1)
+    # Skewed histogram: a bright 2x2 block plus faint background, so the
+    # adaptive projection actually pools (background collapses coarse).
+    row = rng.gamma(0.05, size=(RES, RES)).astype(np.float32) * 0.01
+    row[4:6, 8:10] += 5.0
+    h = jnp.asarray(row.reshape(1, -1))
+    eff, eff_row, total = project_adaptive(h, rho=0.01)
+    n = 200_000
+    leaf = jnp.zeros((n,), jnp.int32)
+    d = grid_sample(eff.reshape(-1, RES), eff_row[leaf], leaf,
+                    jax.random.PRNGKey(2))
+
+    def pdf_fn(dd):
+        dd = jnp.asarray(dd, dtype=jnp.float32)
+        lf = jnp.zeros((dd.shape[0],), jnp.int32)
+        rows = _per_ray(eff, lf, dd)
+        return np.asarray(grid_pdf(rows, total[lf], dd))
+
+    passed, p, st = chi2_test(np.asarray(d), pdf_fn)
+    assert passed, (p, st)
+
+
+def test_adam_fraction_moves_toward_better_strategy():
+    """When the guide pdf explains the product much better than the BSDF
+    pdf, the learned fraction should decrease (prefer guide sampling)."""
+    L = 4
+    theta = jnp.zeros((L,))
+    m1 = jnp.zeros((L,))
+    m2 = jnp.zeros((L,))
+    t = jnp.zeros((L,), jnp.int32)
+    n = 4096
+    leaf = jnp.zeros((n,), jnp.int32)
+    # bsdfPdf low where product is high; guide pdf matches product.
+    product = jnp.full((n,), 2.0)
+    g_pdf = jnp.full((n,), 2.0)
+    bsdf_pdf = jnp.full((n,), 0.05)
+    wo_pdf = 0.5 * bsdf_pdf + 0.5 * g_pdf
+    gw = jnp.stack([product, wo_pdf, bsdf_pdf, g_pdf], -1)
+    for _ in range(4):
+        theta, m1, m2, t = ppg.adam_fraction_steps(
+            theta, m1, m2, t, gw, jnp.ones((n,)), leaf,
+            jnp.ones((n,), bool))
+    frac = float(jax.nn.sigmoid(theta[0]))
+    assert frac < 0.4, frac  # moved off the 0.5 init toward guide
+    # Untouched leaves keep the neutral fraction.
+    assert float(jax.nn.sigmoid(theta[3])) == 0.5
+
+
 def test_ppg_training_unbiased_and_improves():
     b = make_box_scene(20, 20)
     scene, cfg = b.build()
     cfg.max_depth = 4
     cfg.rr_depth = 4
-    tr = PPGTrainer(scene, cfg, PPGConfig(max_leaves=64, split_threshold=2000,
+    tr = PPGTrainer(scene, cfg, PPGConfig(max_leaves=64,
+                                          stree_threshold=2000,
                                           rays_per_wave=400))
     img, iters = tr.run(total_spp=31)  # 1+2+4+8+16
     assert np.isfinite(img).all()
@@ -87,55 +182,23 @@ def test_ppg_training_unbiased_and_improves():
         mean_var(iters[1]), mean_var(iters[-1]))
 
 
-def test_quadtree_pdf_rho0_equals_flat_histogram():
-    """rho=0 subdivides everything -> identical to the finest histogram."""
-    rng = np.random.default_rng(0)
-    h = jnp.asarray(rng.gamma(0.3, size=(64, ppg.RES * ppg.RES))
-                    .astype(np.float32))
-    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    p_flat = np.asarray(ppg.histogram_pdf(h, d))
-    p_qt = np.asarray(ppg.quadtree_pdf(h, d, rho=0.0))
-    np.testing.assert_allclose(p_qt, p_flat, rtol=2e-4)
+def test_ppg_learned_fraction_runs():
+    """End-to-end with the SGD-learned bsdfSamplingFraction (kl loss)."""
+    b = make_box_scene(16, 16)
+    scene, cfg = b.build()
+    cfg.max_depth = 3
+    cfg.rr_depth = 3
+    tr = PPGTrainer(scene, cfg, PPGConfig(
+        max_leaves=32, stree_threshold=2000, rays_per_wave=256,
+        bsdf_fraction_loss="kl"))
+    img, iters = tr.run(total_spp=15)
+    assert np.isfinite(img).all()
+    # Some leaf's fraction moved off the sigmoid(0)=0.5 init.
+    frac = np.asarray(jax.nn.sigmoid(tr.theta))
+    assert (np.abs(frac - 0.5) > 1e-4).any()
+    from sdmm_tpu.render.renderer import render
 
-
-def test_quadtree_sample_matches_pdf():
-    """Chi-square: hierarchical descent sampling vs the adaptive pdf."""
-    from sdmm_tpu.utils.chisquare import chi2_test
-
-    rng = np.random.default_rng(1)
-    # Skewed histogram: a bright 2x2 block plus faint background, so the
-    # adaptive tree actually prunes (background collapses to coarse nodes).
-    row = rng.gamma(0.05, size=(ppg.RES, ppg.RES)).astype(np.float32) * 0.01
-    row[4:6, 8:10] += 5.0
-    n = 200_000
-    h = jnp.broadcast_to(jnp.asarray(row.reshape(-1)),
-                         (n, ppg.RES * ppg.RES))
-    d = ppg.quadtree_sample(h, jax.random.PRNGKey(2), rho=0.01)
-
-    h1 = jnp.asarray(row.reshape(1, -1))
-
-    def pdf_fn(dd):
-        dd = jnp.asarray(dd, dtype=jnp.float32)
-        hh = jnp.broadcast_to(h1, (dd.shape[0], ppg.RES * ppg.RES))
-        return np.asarray(ppg.quadtree_pdf(hh, dd, rho=0.01))
-
-    passed, p, st = chi2_test(np.asarray(d), pdf_fn)
-    assert passed, (p, st)
-
-
-def test_quadtree_prunes_coarse_regions():
-    """Low-flux regions report the coarse node's pooled pdf, not the
-    noisy finest-cell value."""
-    row = np.full((ppg.RES, ppg.RES), 1e-4, np.float32)
-    row[0, 0] = 100.0
-    h = jnp.asarray(row.reshape(1, -1))
-    # A direction deep in the dim region: its quadrant (flux ~64e-4 <<
-    # 1% of total) freezes at a coarse level -> pooled pdf.
-    d_dim = jnp.asarray([[0.0, 0.0, 0.99]])  # ct~1 -> y=RES-1 quadrant
-    p_qt = float(ppg.quadtree_pdf(h, d_dim, rho=0.01)[0])
-    p_flat = float(ppg.histogram_pdf(h, d_dim)[0])
-    assert p_qt > 0
-    # Same order as flat (uniform region), but computed from the pooled
-    # parent: identical here because the region is uniform.
-    np.testing.assert_allclose(p_qt, p_flat, rtol=1e-3)
+    ref = render(scene, cfg, spp=256, seed=21, rays_per_wave=256, nee=True)
+    rel = abs(img.mean() - np.asarray(ref["image"]).mean()) / np.asarray(
+        ref["image"]).mean()
+    assert rel < 0.2, rel
