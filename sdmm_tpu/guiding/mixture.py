@@ -203,12 +203,34 @@ def create_conditional(prep_g, weight_g, pos) -> Conditional:
 
     prep_g: Prepared with leading sample dims (already gathered per sample);
     weight_g: [..., K]; pos: [..., 3].
+
+    Weights are computed in LOG space with max-subtraction: the linear
+    marginal exp(-z²/2) underflows f32 past ~13 whitened σ, which used to
+    invalidate the conditional at ~87% of protocol-scale lookups (tight
+    EM spatial clusters + query positions between them) and silently fall
+    back to BSDF sampling. Only the RELATIVE component masses matter for
+    the conditional, so log-sum-exp keeps it valid anywhere the means are
+    finite (reference computes responsibilities in log space likewise:
+    jmm/mixture_model.h:146-192 posteriorAndLog).
     """
-    marg = marginal_pdf(prep_g.mu_a, prep_g.marg_inv_chol, prep_g.marg_inv_det, pos)
-    w = weight_g * marg * jnp.where(prep_g.valid, 1.0, 0.0)
-    total = jnp.sum(w, axis=-1)
-    valid = (total > 0.0) & jnp.isfinite(total)
-    w = jnp.where(valid[..., None], w / jnp.maximum(total[..., None], 1e-38), 0.0)
+    centered = pos[..., None, :] - prep_g.mu_a
+    z = jnp.einsum("...ij,...j->...i", prep_g.marg_inv_chol, centered)
+    logm = (
+        jnp.log(jnp.maximum(prep_g.marg_inv_det, 1e-38))
+        - 0.5 * jnp.sum(z * z, axis=-1)
+    )
+    logw = jnp.where(
+        prep_g.valid & (weight_g > 0.0),
+        jnp.log(jnp.maximum(weight_g, 1e-38)) + logm,
+        -jnp.inf,
+    )
+    m = jnp.max(logw, axis=-1)
+    valid = jnp.isfinite(m)
+    w = jnp.where(
+        valid[..., None],
+        jnp.exp(logw - jnp.where(valid, m, 0.0)[..., None]), 0.0,
+    )
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-38)
 
     t_mean = jnp.einsum(
         "...ij,...j->...i", prep_g.premult, pos[..., None, :] - prep_g.mu_a

@@ -157,10 +157,14 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
     conditional validity, and the leaf's initialized flag.
     """
     # ---- pass 1: spatial marginal weights + conditional tangent means ----
-    wt = []
+    # LOG space with max-subtraction: the linear exp(-q/2) underflows f32
+    # past ~13 whitened σ, which used to invalidate the conditional at
+    # ~87% of protocol-scale lookups (see mixture.create_conditional).
+    _NEG = -1.0e30
+    lw = []
     tm0s = []
     tm1s = []
-    total = jnp.zeros_like(px)
+    lmax = jnp.full_like(px, _NEG)
     for k in range(K):
         b = k * ROWS_PER_K
         d0 = px - row(b + 1)
@@ -176,16 +180,24 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         z1 = m10 * d0 + m11 * d1
         z2 = m20 * d0 + m21 * d1 + m22 * d2
         q = z0 * z0 + z1 * z1 + z2 * z2
-        det = m00 * m11 * m22
-        w_k = row(b + 0) * jnp.exp(-0.5 * q) * det
+        wd = row(b + 0) * m00 * m11 * m22
+        lw_k = jnp.where(
+            wd > 0.0, jnp.log(jnp.maximum(wd, 1e-38)) - 0.5 * q, _NEG
+        )
         tm0 = row(b + 10) * d0 + row(b + 11) * d1 + row(b + 12) * d2
         tm1 = row(b + 13) * d0 + row(b + 14) * d1 + row(b + 15) * d2
-        wt.append(w_k)
+        lw.append(lw_k)
         tm0s.append(tm0)
         tm1s.append(tm1)
-        total = total + w_k
+        lmax = jnp.maximum(lmax, lw_k)
 
-    cond_valid = (total > 0.0) & (total < 3.0e38)
+    cond_valid = lmax > 0.5 * _NEG
+    lref = jnp.where(cond_valid, lmax, 0.0)
+    wt = [jnp.exp(jnp.maximum(lw_k - lref, -80.0)) *
+          jnp.where(lw_k > 0.5 * _NEG, 1.0, 0.0) for lw_k in lw]
+    total = wt[0]
+    for k in range(1, K):
+        total = total + wt[k]
     inv_total = jnp.where(cond_valid, 1.0 / jnp.maximum(total, 1e-38), 0.0)
 
     # Normalize, THEN zero by exp-map range (|t_mean| >= pi) — matching

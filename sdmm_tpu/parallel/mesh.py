@@ -72,6 +72,8 @@ def build_train_step(scene, render_cfg, mesh: Mesh, trainer_cfg=None,
             max_depth=render_cfg.max_depth, rr_depth=render_cfg.rr_depth,
             bsdf_fraction=tc.bsdf_fraction,
             bsdf_types=render_cfg.bsdf_types or None,
+            has_medium=render_cfg.has_medium,
+            has_hetero=render_cfg.has_hetero,
         )
         li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
         image = jnp.zeros((n_pix, 3)).at[pixel_idx].add(li)

@@ -200,6 +200,34 @@ def test_pooled_collector_matches_scan_samples(trained):
     assert float(out["n_vertices"]) > n2
 
 
+def test_guided_volumetric_matches_volpath():
+    """Volumetric guided transport (VERDICT r3 #4): --integrator sdmm on
+    a participating-medium scene must agree with plain volpath in mean
+    (no more silent-vacuum rendering). A scattering fog between camera
+    and an emissive wall changes the image substantially vs vacuum, so
+    this also fails if the medium were ignored."""
+    from test_medium import emissive_wall_scene
+
+    scene, cfg = emissive_wall_scene(0.5, 0.9, g=0.3)
+    assert cfg.has_medium
+    trainer = SDMMTrainer(scene, cfg, TrainerConfig(
+        n_components=8, max_leaves=32, split_threshold=2000,
+        samples_per_iteration=4, rays_per_wave=256,
+        em=em_mod.EMConfig(batch_size=1 << 11),
+    ))
+    combined, iters = trainer.run(total_spp=32)
+    assert np.isfinite(combined).all()
+    ref = render(scene, cfg, spp=512, seed=3, rays_per_wave=256, nee=False)
+    ref_img = np.asarray(ref["image"])
+    rel = abs(combined.mean() - ref_img.mean()) / ref_img.mean()
+    assert rel < 0.15, (combined.mean(), ref_img.mean())
+    # And the medium actually mattered: vacuum render differs.
+    scene0, cfg0 = emissive_wall_scene(None, 0.0)
+    vac = render(scene0, cfg0, spp=64, seed=4, rays_per_wave=256, nee=False)
+    assert abs(combined.mean() - np.asarray(vac["image"]).mean()) \
+        / np.asarray(vac["image"]).mean() > 0.2
+
+
 def test_guided_depth_gating_matches_volpath():
     """The guided scan runs one extra step for training targets (le at
     vertex max_depth+1); that vertex must NOT contribute to the image —
