@@ -218,14 +218,37 @@ def m_step(
     c_new = jnp.einsum("...ij,...jk,...lk->...il", jfull, c_new, jfull)
     c_new = 0.5 * (c_new + jnp.swapaxes(c_new, -1, -2))
 
-    # PD check via Cholesky (stepwise_tangent.h:945-960).
+    # PD enforcement. The reference kills any non-PD update outright
+    # (stepwise_tangent.h:945-960); in exact arithmetic E[ttᵀ]−μμᵀ is
+    # PSD, so violations here come from the stepwise EMA + recentring +
+    # tangent-transport drift (measured: min eig ≈ −1e-4 against max
+    # ≈ 2e-2 by leaf-iteration ~6, once the decayed b_prior is gone).
+    # With kill-on-sight those drift artifacts cascade until whole
+    # leaves die (84% of initialized leaves at protocol scale, which
+    # silently disabled guiding). Instead: repair SMALL violations by
+    # clamping eigenvalues to a relative floor; kill only genuinely
+    # broken components (min eig < −25% of max, non-finite, or ≤ 0).
+    evals, evecs = jnp.linalg.eigh(c_new)
+    lam_max = evals[..., -1]
+    lam_min = evals[..., 0]
+    shape_ok = (
+        jnp.all(jnp.isfinite(evals), axis=-1)
+        & (lam_max > 0.0)
+        & (lam_min > -0.25 * lam_max)
+    )
+    floor = 1e-6 * lam_max[..., None] + 1e-12
+    evals_c = jnp.maximum(evals, floor)
+    c_new = jnp.einsum(
+        "...ij,...j,...kj->...ik", evecs, evals_c, evecs
+    )
+    c_new = 0.5 * (c_new + jnp.swapaxes(c_new, -1, -2))
     chol_test = jnp.linalg.cholesky(c_new)
     diag = jnp.diagonal(chol_test, axis1=-2, axis2=-1)
-    pd_ok = jnp.all(jnp.isfinite(chol_test), axis=(-2, -1)) & jnp.all(
-        diag > 0.0, axis=-1
-    )
+    pd_ok = shape_ok & jnp.all(
+        jnp.isfinite(chol_test), axis=(-2, -1)
+    ) & jnp.all(diag > 0.0, axis=-1)
     good = alive & ~weak & pd_ok & exp_ok & a1
-    kill = alive & ~weak & ~(pd_ok & exp_ok)  # non-PD update kills component
+    kill = alive & ~weak & ~(pd_ok & exp_ok)  # broken update kills component
     w_new = jnp.where(kill, 0.0, w_new)
     w_new = jnp.where(a1, w_new, sdmm.weight)
 
