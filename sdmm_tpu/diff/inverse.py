@@ -104,10 +104,11 @@ def optimize_parameter(
     return param, losses
 
 
-def make_render_fn_multi(scene, cfg, pixel_idx, param_names, spp: int = 4,
+def make_render_fn_multi(scene, cfg, pixel_idx, spp: int = 4,
                          nee: bool = True, ray_sharding=None):
     """fn(params dict, key) → per-pixel radiance, differentiable in every
-    entry of ``params``. ``ray_sharding``: optional NamedSharding for the
+    entry of ``params`` (keys are Scene field names, applied via
+    ``_replace``). ``ray_sharding``: optional NamedSharding for the
     camera-sample batch — gradients then run under GSPMD over the mesh
     (the BASELINE multi-device gradient-parity target)."""
     w, h = cfg.width, cfg.height
@@ -141,16 +142,21 @@ def make_render_fn_multi(scene, cfg, pixel_idx, param_names, spp: int = 4,
 def optimize_parameters(
     scene, cfg, target_image, param_names, init_values,
     steps: int = 60, lr: float = 5e-2, spp: int = 4, seed: int = 0,
-    pixel_idx=None,
+    pixel_idx=None, resample: bool = False,
 ):
     """Joint Adam inverse rendering over several scene parameters (e.g.
     albedo + GGX roughness — the BASELINE.md target configuration).
-    Returns (dict of optimized values, loss history)."""
+    Returns (dict of optimized values, loss history).
+
+    ``param_names`` documents the optimized Scene fields (the values'
+    keys drive the actual update). ``resample``: draw fresh camera/path
+    randoms each step (fold_in(key, i), mirroring optimize_parameter);
+    the default False keeps the correlated-sample objective, whose exact
+    zero at the target parameters makes recovery tests deterministic."""
     n_pix = cfg.width * cfg.height
     if pixel_idx is None:
         pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
-    render = make_render_fn_multi(scene, cfg, pixel_idx, param_names,
-                                  spp=spp)
+    render = make_render_fn_multi(scene, cfg, pixel_idx, spp=spp)
     target = target_image.reshape(-1, 3)[pixel_idx]
 
     opt = optax.adam(lr)
@@ -175,6 +181,7 @@ def optimize_parameters(
     losses = []
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
-        params, state, loss = step(params, state, key)
+        k = jax.random.fold_in(key, i) if resample else key
+        params, state, loss = step(params, state, k)
         losses.append(float(loss))
     return params, losses

@@ -378,6 +378,41 @@ def adam_fraction_steps(theta, m1, m2, t, grads_w, stat_w, leaf, valid,
     return theta, m1, m2, t
 
 
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("stochastic", "box"))
+def _splat_jit(add_w, counts, pos, dirs, weight, valid, leaf, tables, key,
+               stochastic: bool, box: bool):
+    if stochastic:
+        lo = tables["leaf_lo"][leaf]
+        hi = tables["leaf_hi"][leaf]
+        off = (jax.random.uniform(key, pos.shape) - 0.5) * (hi - lo)
+        leaf = find_leaf(tables, pos + off)
+    w = jnp.where(valid, weight, 0.0)
+    ct, u = dir_to_uv(dirs)
+    flat = add_w.reshape(-1)
+    if box:
+        fy = ct * RES - 0.5
+        fx = u * RES - 0.5
+        y0 = jnp.floor(fy)
+        x0 = jnp.floor(fx)
+        wy1 = fy - y0
+        wx1 = fx - x0
+        idxs = []
+        vals = []
+        for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+            for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+                yy = jnp.clip(y0.astype(jnp.int32) + dy, 0, RES - 1)
+                xx = (x0.astype(jnp.int32) + dx) % RES  # φ wraps
+                idxs.append(leaf * (RES * RES) + yy * RES + xx)
+                vals.append(w * wy * wx)
+        flat = flat.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
+    else:
+        cell = dir_to_cell(dirs)
+        flat = flat.at[leaf * (RES * RES) + cell].add(w)
+    counts = counts.at[leaf].add(valid.astype(jnp.int32))
+    return flat.reshape(add_w.shape), counts, leaf
+
+
 @dataclass
 class PPGConfig:
     max_leaves: int = 2048
@@ -426,38 +461,19 @@ class PPGTrainer:
         eff, eff_row, total = project_adaptive(self.hist, self.cfg.rho)
         return (eff.reshape(-1, RES), eff_row, total)
 
-    def _splat(self, add_w, samples, key):
+    def _splat(self, add_w, counts, samples, key):
         """Training deposit: directional box filter (bilinear over the 4
         nearest finest cells) + spatial stochastic filter (position
-        jittered by ±half leaf size before the leaf lookup)."""
+        jittered by ±half leaf size before the leaf lookup). One jitted,
+        buffer-donating call — the eager version copied the 32 MB
+        histogram 4x per wave."""
         c = self.cfg
-        leaf = samples["leaf"]
-        if c.spatial_filter == "stochastic":
-            lo = self.tables["leaf_lo"][leaf]
-            hi = self.tables["leaf_hi"][leaf]
-            off = (jax.random.uniform(key, samples["pos"].shape) - 0.5) * (
-                hi - lo)
-            leaf = find_leaf(self.tables, samples["pos"] + off)
-        w = jnp.where(samples["valid"], samples["weight"], 0.0)
-        ct, u = dir_to_uv(samples["dir"])
-        if c.directional_filter == "box":
-            fy = ct * RES - 0.5
-            fx = u * RES - 0.5
-            y0 = jnp.floor(fy)
-            x0 = jnp.floor(fx)
-            wy1 = fy - y0
-            wx1 = fx - x0
-            flat = add_w.reshape(-1)
-            for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
-                for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
-                    yy = jnp.clip(y0.astype(jnp.int32) + dy, 0, RES - 1)
-                    xx = (x0.astype(jnp.int32) + dx) % RES  # φ wraps
-                    idx = leaf * (RES * RES) + yy * RES + xx
-                    flat = flat.at[idx].add(w * wy * wx)
-            return flat.reshape(add_w.shape), leaf
-        cell = dir_to_cell(samples["dir"])
-        flat = leaf * (RES * RES) + cell
-        return add_w.reshape(-1).at[flat].add(w).reshape(add_w.shape), leaf
+        return _splat_jit(
+            add_w, counts, samples["pos"], samples["dir"],
+            samples["weight"], samples["valid"], samples["leaf"],
+            self.tables, key, c.spatial_filter == "stochastic",
+            c.directional_filter == "box",
+        )
 
     def run(self, total_spp: int, verbose: bool = False):
         """Budget-doubling iterations: 1, 2, 4, ... spp; the final (largest)
@@ -479,7 +495,7 @@ class PPGTrainer:
             sqr = jnp.zeros((n_pix, 3))
             weight = jnp.zeros((n_pix,))
             add_w = jnp.zeros_like(self.hist)
-            counts = np.zeros(c.max_leaves)
+            counts_dev = jnp.zeros(c.max_leaves, jnp.int32)
             eff2d, eff_row, total = self._project()
             t0 = time.time()
             for s in range(spp_this):
@@ -509,11 +525,8 @@ class PPGTrainer:
                     )
                     li = jnp.nan_to_num(li, nan=0.0, posinf=0.0, neginf=0.0)
                     image, sqr, weight = film_mod.splat(image, sqr, weight, idx, li)
-                    add_w, rec_leaf = self._splat(add_w, samples, ks)
-                    counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[
-                        rec_leaf
-                    ].add(samples["valid"].astype(jnp.int32))
-                    counts[: c.max_leaves] += np.asarray(counts_dev)
+                    add_w, counts_dev, rec_leaf = self._splat(
+                        add_w, counts_dev, samples, ks)
                     if learn:
                         gw = jnp.stack([
                             samples["product"], samples["wo_pdf"],
@@ -530,7 +543,8 @@ class PPGTrainer:
             # Train: REPLACE histograms with this iteration's radiance
             # estimates (the reference resets the DTree each iteration:
             # resetSDTree refines structure from old flux + clears it,
-            # guided_path.cpp:1115-1116).
+            # guided_path.cpp:1115-1116). ONE host fetch per iteration.
+            counts = np.asarray(counts_dev).astype(np.float64)
             trained = jnp.asarray(counts) >= 64
             self.hist = jnp.where(trained[:, None], add_w, self.hist)
             self.initialized = self.initialized | trained

@@ -197,9 +197,38 @@ def _test_cluster(scene, ro, rd, cluster, t_lim, t_c: int):
     return take(t), slot, take(u), take(v)
 
 
+def _sweep_body(scene, ro, rd, inv_d, t_max, t_c, c):
+    """One selection + cluster-test round over the given ray arrays."""
+    active, prev_key, best_t, best_i, best_u, best_v = c
+    limit = jnp.minimum(best_t, t_max)
+    key = _round_key(scene, ro, rd, inv_d, limit, prev_key)
+    act = active & (key != KEY_MISS)
+    cluster = jnp.where(act, key & ID_MASK, 0)
+    ct, ci, cu, cv = _test_cluster(scene, ro, rd, cluster, limit, t_c)
+    better = act & (ci >= 0) & (ct < best_t)
+    best_t = jnp.where(better, ct, best_t)
+    best_i = jnp.where(better, ci, best_i)
+    best_u = jnp.where(better, cu, best_u)
+    best_v = jnp.where(better, cv, best_v)
+    # Continue while an unprocessed cluster could still beat best_t.
+    return (act, jnp.where(act, key, prev_key),
+            best_t, best_i, best_u, best_v)
+
+
+PHASE_A_ROUNDS = 6  # full-width rounds before tail compaction
+
+
 @jax.jit
 def intersect(scene, ro, rd, t_max=None):
-    """Closest hit via the round loop. Same record as intersect.intersect."""
+    """Closest hit via the round loop. Same record as intersect.intersect.
+
+    Two-phase schedule: a few full-width rounds retire the common case
+    (most rays visit O(5) clusters), then the ACTIVE TAIL is compacted
+    into an n/4 workspace and swept there — the while-loop no longer
+    drags every finished ray through [N,C] slab sweeps and 9 KB cluster
+    row gathers for the slowest ray's 25+ rounds (the r3 0.13 Mrays/s
+    profile). Overflow-safe: if more than n/4 rays are still active the
+    outer loop simply compacts again."""
     n = ro.shape[0]
     t_c = scene.clas_ids.shape[1]
     if t_max is None:
@@ -207,26 +236,6 @@ def intersect(scene, ro, rd, t_max=None):
     safe_d = jnp.where(jnp.abs(rd) > 1e-12,
                        rd, jnp.where(rd >= 0, 1e-12, -1e-12))
     inv_d = 1.0 / safe_d
-
-    def cond(c):
-        return jnp.any(c[0])
-
-    def body(c):
-        active, prev_key, best_t, best_i, best_u, best_v = c
-        limit = jnp.minimum(best_t, t_max)
-        key = _round_key(scene, ro, rd, inv_d, limit, prev_key)
-        act = active & (key != KEY_MISS)
-        cluster = jnp.where(act, key & ID_MASK, 0)
-        ct, ci, cu, cv = _test_cluster(scene, ro, rd, cluster, limit, t_c)
-        better = act & (ci >= 0) & (ct < best_t)
-        best_t = jnp.where(better, ct, best_t)
-        best_i = jnp.where(better, ci, best_i)
-        best_u = jnp.where(better, cu, best_u)
-        best_v = jnp.where(better, cv, best_v)
-        # Continue while an unprocessed cluster could still beat best_t.
-        nxt_active = act
-        return (nxt_active, jnp.where(act, key, prev_key),
-                best_t, best_i, best_u, best_v)
 
     init = (
         jnp.ones(n, bool),
@@ -236,7 +245,72 @@ def intersect(scene, ro, rd, t_max=None):
         jnp.zeros(n),
         jnp.zeros(n),
     )
-    _, _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+
+    # Phase A: fixed number of full-width rounds.
+    c = jax.lax.fori_loop(
+        0, PHASE_A_ROUNDS,
+        lambda _, c: _sweep_body(scene, ro, rd, inv_d, t_max, t_c, c),
+        init,
+    )
+
+    cap = max(1024, n // 4)
+    if cap >= n:
+        # Tiny waves: finish with the plain while loop.
+        def cond(c):
+            return jnp.any(c[0])
+
+        c = jax.lax.while_loop(
+            cond, lambda c: _sweep_body(scene, ro, rd, inv_d, t_max, t_c, c),
+            c)
+        _, _, t, tri, u, v = c
+        return {"t": t, "tri": tri, "u": u, "v": v, "valid": tri >= 0}
+
+    # Phase B: compacted tail sweeps.
+    K_INNER = 4
+
+    def outer_cond(c):
+        return jnp.any(c[0])
+
+    def outer_body(c):
+        active, prev_key, best_t, best_i, best_u, best_v = c
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        idx = jnp.where(active & (rank < cap), rank, cap)
+        src = jnp.zeros((cap,), jnp.int32).at[idx].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        filled = jnp.arange(cap) < jnp.minimum(
+            jnp.sum(active.astype(jnp.int32)), cap)
+        src_s = jnp.where(filled, src, 0)
+        sub = (
+            filled,
+            prev_key[src_s],
+            best_t[src_s],
+            best_i[src_s],
+            best_u[src_s],
+            best_v[src_s],
+        )
+        ro_c = ro[src_s]
+        rd_c = rd[src_s]
+        inv_c = inv_d[src_s]
+        tm_c = t_max[src_s]
+        sub = jax.lax.fori_loop(
+            0, K_INNER,
+            lambda _, s: _sweep_body(scene, ro_c, rd_c, inv_c, tm_c, t_c, s),
+            sub,
+        )
+        s_act, s_key, s_t, s_i, s_u, s_v = sub
+        dst = jnp.where(filled, src, n)
+        upd = lambda a, v_: a.at[dst].set(v_, mode="drop")  # noqa: E731
+        return (
+            upd(active & (rank >= cap), s_act),
+            upd(prev_key, s_key),
+            upd(best_t, s_t),
+            upd(best_i, s_i),
+            upd(best_u, s_u),
+            upd(best_v, s_v),
+        )
+
+    c = jax.lax.while_loop(outer_cond, outer_body, c)
+    _, _, t, tri, u, v = c
     return {"t": t, "tri": tri, "u": u, "v": v, "valid": tri >= 0}
 
 

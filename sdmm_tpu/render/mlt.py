@@ -42,6 +42,25 @@ Mutations (each chain picks one per step):
 Chain-Jacobian/G cancellation is exact on flat specular geometry; curved
 specular surfaces would need the reference's per-vertex differential
 terms (manifold machinery) and are approximated.
+
+Known detailed-balance deviations (documented so parity debugging does
+not rediscover them):
+- Curved-specular chains use the flat-geometry Jacobian approximation
+  above (measured by the sphere-caustic parity test, tests/test_mlt.py).
+- Lens/caustic acceptances are additionally gated by
+  ``a = where(recomputed PT weight > 0, a, 0)``: a proposal whose
+  re-traced path-tracer luminance underflows is rejected even when the
+  respan luminance ratio is positive. This clamp keeps the stored chain
+  state consistent with its recomputed weight (the chain's W enters
+  later large-step acceptances) at the cost of a small detailed-balance
+  deviation for near-black proposals.
+
+Cost note: every chain computes all three mutation proposals per step
+(one full PT re-trace + two respans + two weight recomputations) and
+keeps one — a deliberate lockstep-SIMD trade: partitioning chains by
+mutation pick would turn one dense wave into three ragged ones (mask
+occupancy loss + 3x dispatch) for ~2x less arithmetic; on TPU the dense
+variant measured faster at protocol chain counts.
 """
 
 from __future__ import annotations

@@ -120,7 +120,7 @@ def test_joint_albedo_roughness_recovery():
     scene, cfg = rough_scene()
     pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
     names = ("bsdf_albedo", "bsdf_alpha")
-    render = make_render_fn_multi(scene, cfg, pix, names, spp=4)
+    render = make_render_fn_multi(scene, cfg, pix, spp=4)
     truth = {n: getattr(scene, n) for n in names}
     target = render(truth, jax.random.PRNGKey(0))
 
@@ -161,10 +161,10 @@ def test_multi_device_gradient_parity():
             return jnp.mean(render(p, key))
         return jax.grad(loss)(truth)
 
-    g_single = grads(make_render_fn_multi(scene, cfg, pix, names, spp=2))
+    g_single = grads(make_render_fn_multi(scene, cfg, pix, spp=2))
     mesh = make_mesh()
     sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-    g_mesh = grads(make_render_fn_multi(scene, cfg, pix, names, spp=2,
+    g_mesh = grads(make_render_fn_multi(scene, cfg, pix, spp=2,
                                         ray_sharding=sh))
     for n_ in names:
         np.testing.assert_allclose(
