@@ -134,7 +134,11 @@ def main():
                 from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
 
                 trainer = SDMMTrainer(scene, cfg, TrainerConfig(
-                    tail_chunk_spp=args.tail_chunk))
+                    tail_chunk_spp=args.tail_chunk,
+                    # The reference protocol runs with optimizeAsync=true
+                    # (_integrators/sdmm.xml:12): EM overlaps the next
+                    # render iteration via the double-buffer swap.
+                    optimize_async=True))
                 img, _ = trainer.run(total_spp=args.spp)
                 stats = trainer.stats
             elif integ == "ppg":

@@ -219,15 +219,20 @@ def m_step(
     c_new = 0.5 * (c_new + jnp.swapaxes(c_new, -1, -2))
 
     # PD enforcement. The reference kills any non-PD update outright
-    # (stepwise_tangent.h:945-960); in exact arithmetic E[ttᵀ]−μμᵀ is
+    # (stepwise_tangent.h:945-960); in exact arithmetic E[tt^T]−μμ^T is
     # PSD, so violations here come from the stepwise EMA + recentring +
     # tangent-transport drift (measured: min eig ≈ −1e-4 against max
     # ≈ 2e-2 by leaf-iteration ~6, once the decayed b_prior is gone).
     # With kill-on-sight those drift artifacts cascade until whole
     # leaves die (84% of initialized leaves at protocol scale, which
-    # silently disabled guiding). Instead: repair SMALL violations by
-    # clamping eigenvalues to a relative floor; kill only genuinely
-    # broken components (min eig < −25% of max, non-finite, or ≤ 0).
+    # silently disabled guiding). Repair SMALL violations by clamping
+    # eigenvalues to a relative floor; kill only genuinely broken
+    # components (min eig < −25% of max, non-finite, or ≤ 0). The
+    # batched 5x5 eigh costs ~230 ms/em_step on the relay — a
+    # Gershgorin-shift cheap variant was tried and rejected: its bound
+    # over-shifts anisotropic 5D covariances so badly that the repair
+    # either blurs the mixture or trips the kill threshold (118/1199
+    # leaves dead vs 1/1179 with the eigh clamp).
     evals, evecs = jnp.linalg.eigh(c_new)
     lam_max = evals[..., -1]
     lam_min = evals[..., 0]

@@ -889,10 +889,13 @@ def guided_fused_supported(scene, cfg, gs: GuideState) -> bool:
     (ops/guided_step_pallas): same scene class as the unguided fused
     engine minus NEE-specific limits — in-kernel BSDF types, no textures,
     constant env only, no media/sss, triangle table within MAX_TRIS."""
+    import os
+
     from ..ops import bounce_pallas as bp
 
     return bool(
-        gs.kernel_table is not None
+        os.environ.get("SDMM_TPU_NO_FUSED") != "1"
+        and gs.kernel_table is not None
         and gs.learned is None
         and len(cfg.bsdf_types) > 0
         and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)

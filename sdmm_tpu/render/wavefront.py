@@ -304,11 +304,19 @@ def render_pool(
 def fused_supported(scene, cfg, nee: bool = True) -> bool:
     """Host-side gate for the Pallas bounce megakernel (ops/bounce_pallas):
     untextured area-light scenes using only in-kernel BSDF models and
-    small enough for the unrolled in-VMEM triangle sweep."""
+    small enough for the unrolled in-VMEM triangle sweep.
+
+    SDMM_TPU_NO_FUSED=1 opts out (operational escape hatch; known open
+    issue: the dielectric branch trips a Mosaic 'unsupported target
+    bitwidth for truncation' compile error on real TPU for some type
+    combinations — CPU tests run in interpret mode and don't see it)."""
+    import os
+
     from ..ops import bounce_pallas as bp
 
     return bool(
-        nee
+        os.environ.get("SDMM_TPU_NO_FUSED") != "1"
+        and nee
         and len(cfg.bsdf_types) > 0
         and all(t in bp.SUPPORTED_TYPES for t in cfg.bsdf_types)
         and not cfg.has_bump
