@@ -121,8 +121,17 @@ def main():
         t0 = time.time()
         from sdmm_tpu.render.wavefront import render_wavefront
 
-        gt = render_wavefront(scene, cfg, spp=args.gt_spp, seed=99, nee=True)
-        gt_img = np.asarray(gt["image"])  # already weight-normalized [H,W,3]
+        # Chunked GT: one multi-thousand-spp pool call is a single huge
+        # device dispatch; observed to crash the TPU worker (relay
+        # watchdog) on unfused scenes. Equal-spp chunks average exactly.
+        chunk = min(args.gt_spp, 512)
+        acc = None
+        for ci in range(args.gt_spp // chunk):
+            g = render_wavefront(scene, cfg, spp=chunk, seed=99 + ci,
+                                 nee=True)
+            img_c = np.asarray(g["image"])
+            acc = img_c if acc is None else acc + img_c
+        gt_img = acc / max(1, args.gt_spp // chunk)
         write_exr(os.path.join(scene_dir, "gt.exr"), gt_img)
         print(f"[{name}] GT done in {time.time()-t0:.1f}s")
 

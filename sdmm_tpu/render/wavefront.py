@@ -1048,6 +1048,18 @@ def render_wavefront(scene, cfg, spp: int = 16, seed: int = 1234,
     """Host-facing wrapper matching renderer.render's output dict."""
     import numpy as np
 
+    if cfg.has_medium:
+        # The lane pools carry no medium state: a media scene would be
+        # SILENTLY rendered as vacuum (the same hole VERDICT r3 #4
+        # flagged for the guided integrator). Route media scenes to the
+        # scan renderer, whose trace_wave has the full volumetric path.
+        from .renderer import render as scan_render
+
+        out = scan_render(scene, cfg, spp=spp, seed=seed, nee=nee)
+        out["n_vertices"] = 0
+        out["steps"] = 0
+        return out
+
     if cfg.has_sss and not cfg.sss_baked:
         from .subsurface import bake_subsurface
 
