@@ -74,6 +74,15 @@ def _gather_raw(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None) -> 
             sample_texture(scene.textures, jnp.maximum(tex_id, 0), uv),
             albedo,
         )
+    if uv is not None and scene.proc_tex.shape[0] > 0:
+        tex_id = scene.bsdf_tex[bsdf_idx]
+        is_proc = tex_id <= -2
+        albedo = jnp.where(
+            is_proc[..., None],
+            eval_proc_texture(
+                scene, jnp.where(is_proc, -tex_id - 2, 0), uv),
+            albedo,
+        )
     return {
         "type": scene.bsdf_type[bsdf_idx],
         "albedo": albedo,
@@ -168,6 +177,60 @@ def gather_params(scene, bsdf_idx: jnp.ndarray, uv: jnp.ndarray | None = None,
             bsdf_idx.shape + (2,)
         )
     return p
+
+
+def eval_proc_texture(scene, pidx: jnp.ndarray, uv: jnp.ndarray):
+    """Branchless procedural texture eval over the wave.
+
+    TPU-native rebirth of the reference's virtual Texture::eval for the
+    procedural plugins (src/textures/{checkerboard.cpp:66,
+    gridtexture.cpp:76, wireframe.cpp:81, vertexcolors.cpp:56,
+    curvature.cpp:83}): every kind is evaluated on the whole batch and
+    selected by the per-ray kind code. ``uv`` may be the widened [N, 6]
+    row from surface_interaction (channels 2:5 = interpolated vertex
+    colors, 5 = distance to the nearest triangle edge); plain [N, 2] rows
+    degrade mesh-attribute kinds to black.
+    """
+    rows = scene.proc_tex[pidx]  # [N, 13]
+    kind = rows[..., 0]
+    c0 = rows[..., 1:4]
+    c1 = rows[..., 4:7]
+    # Texture2D uv transform (reference: include/mitsuba/render/texture.h).
+    uu = uv[..., 0] * rows[..., 7] + rows[..., 9]
+    vv = uv[..., 1] * rows[..., 8] + rows[..., 10]
+    lw = rows[..., 11]
+    sw = rows[..., 12]
+
+    # checkerboard.cpp:66 — int-cast truncates toward zero.
+    cx = jnp.trunc(uu * 2.0).astype(jnp.int32) % 2
+    cy = jnp.trunc(vv * 2.0).astype(jnp.int32) % 2
+    checker = jnp.where(
+        ((2 * cx - 1) * (2 * cy - 1) == 1)[..., None], c0, c1)
+
+    # gridtexture.cpp:76 — lines of width lw at integer uv lines.
+    gx = uu - jnp.floor(uu)
+    gy = vv - jnp.floor(vv)
+    gx = jnp.where(gx > 0.5, gx - 1.0, gx)
+    gy = jnp.where(gy > 0.5, gy - 1.0, gy)
+    on_line = (jnp.abs(gx) < lw) | (jnp.abs(gy) < lw)
+    grid = jnp.where(on_line[..., None], c1, c0)
+
+    if uv.shape[-1] >= 6:
+        meshattr = uv[..., 2:5]
+        # wireframe.cpp:121 — smoothstep between edge and interior color.
+        t = jnp.clip(
+            (uv[..., 5] - lw * (1.0 - sw)) / jnp.maximum(lw * sw, 1e-20),
+            0.0, 1.0)
+        a = t * t * (3.0 - 2.0 * t)
+        wire = c0 * (1.0 - a[..., None]) + c1 * a[..., None]
+    else:
+        meshattr = jnp.zeros_like(c0)
+        wire = c1
+
+    out = jnp.where((kind == 0)[..., None], checker, grid)
+    out = jnp.where((kind == 2)[..., None], meshattr, out)
+    out = jnp.where((kind == 3)[..., None], wire, out)
+    return out
 
 
 def sample_texture(textures: jnp.ndarray, tex_id: jnp.ndarray, uv: jnp.ndarray):

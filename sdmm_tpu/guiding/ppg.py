@@ -532,11 +532,17 @@ class PPGTrainer:
                             samples["product"], samples["wo_pdf"],
                             samples["bsdf_pdf"], samples["g_pdf"],
                         ], axis=-1)
+                        # Keyed on the sample's OWN leaf, not the spatially
+                        # jittered rec_leaf from _splat: the gradient's
+                        # theta/g_pdf were evaluated at the original leaf,
+                        # so crediting neighbor leaves mis-assigns the
+                        # update (reference optimizes the fraction at the
+                        # vertex's own dTree; ADVICE r4).
                         (self.theta, self.adam_m1, self.adam_m2,
                          self.adam_t) = adam_fraction_steps(
                             self.theta, self.adam_m1, self.adam_m2,
                             self.adam_t, gw, jnp.ones_like(samples["wo_pdf"]),
-                            rec_leaf,
+                            samples["leaf"],
                             samples["valid"] & (samples["product"] > 0),
                             ratio_power=ratio_power,
                         )
@@ -549,10 +555,14 @@ class PPGTrainer:
             self.hist = jnp.where(trained[:, None], add_w, self.hist)
             self.initialized = self.initialized | trained
             # Spatial refine with the reference's growing threshold
-            # (guided_path.cpp:1115): sqrt(2^iter·spp/4)·sTreeThreshold.
+            # (guided_path.cpp:1115): sqrt(2^iter·sppPerPass/4)·sTreeThreshold.
+            # In the reference m_sppPerPass is the CONSTANT per-pass spp and
+            # 2^m_iter the pass count; here spp_this ALREADY equals
+            # 2^iter·base, so using both would double-count the doubling
+            # (threshold ∝ 2^iter instead of 2^(iter/2) — by iteration 8
+            # ~16x too high, starving the spatial refinement; ADVICE r4).
             self.tree.split_threshold = int(
-                np.sqrt(2.0 ** self.iteration * spp_this / 4.0)
-                * c.stree_threshold
+                np.sqrt(spp_this / 4.0) * c.stree_threshold
             )
             copies = self.tree.refit(counts)
             if copies:

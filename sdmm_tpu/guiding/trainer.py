@@ -422,14 +422,20 @@ class SDMMTrainer:
 
             diag = self.tables["leaf_hi"][leaf] - self.tables["leaf_lo"][leaf]
             k1, k2 = jax.random.split(k_j)
-            n_rows = pos.shape[0]
             parts = {"pos": [pos], "lk": [lookup_pos], "d": [d],
                      "w": [wgt], "leaf": [leaf], "v": [valid]}
             # Round 0: the path-terminal replica (~1/path); round 1: the
-            # rare extra replica for weight > 1000 samples.
-            for r, kr, rcap in ((0, k1, max(1024, n_rows // 3)),
-                                (1, k2, max(1024, n_rows // 32))):
+            # rare extra replica for weight > 1000 samples. rcap is sized
+            # from the ACTUAL replica count (one host sync), bucketed to
+            # multiples of 8192 to bound jit recompiles — the old
+            # n_rows//3 heuristic silently dropped terminal replicas on
+            # shallow scenes with <3 recorded vertices/path (ADVICE r4).
+            n_masks = np.asarray(jnp.stack([
+                jnp.sum(valid & (n_rep > 0)), jnp.sum(valid & (n_rep > 1)),
+            ]))
+            for r, kr in ((0, k1), (1, k2)):
                 mask = valid & (n_rep > r)
+                rcap = max(8192, -(-int(n_masks[r]) // 8192) * 8192)
                 filled, (cpos, cd, cw, cleaf, cdiag) = _compact(
                     mask, rcap, pos, d, wgt, leaf, diag)
                 leaf_r, pos_r = _dest_leaf(kr, cpos, cleaf, cdiag)

@@ -191,7 +191,11 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         tm1s.append(tm1)
         lmax = jnp.maximum(lmax, lw_k)
 
-    cond_valid = lmax > 0.5 * _NEG
+    # Upper guard: if weight*det overflowed f32 to +inf (near-degenerate
+    # covariance), lmax=+inf would make lw_k - lref = inf - inf = NaN and
+    # poison the conditional weights; invalidate instead, mirroring
+    # mixture.create_conditional's jnp.isfinite(m) (ADVICE r4).
+    cond_valid = (lmax > 0.5 * _NEG) & (lmax < -_NEG)
     lref = jnp.where(cond_valid, lmax, 0.0)
     wt = [jnp.exp(jnp.maximum(lw_k - lref, -80.0)) *
           jnp.where(lw_k > 0.5 * _NEG, 1.0, 0.0) for lw_k in lw]

@@ -103,7 +103,7 @@ def _walk(scene, key, ro, rd, beta0, pdf_dir0, n_verts, types):
                                                 types=types)
         rec = {
             "p": it["p"], "ns": it["ns"], "ng": it["ng"],
-            "bsdf": it["bsdf"], "uv": it["uv"], "wi": -rd,
+            "bsdf": it["bsdf"], "uv": it["uv"][..., :2], "wi": -rd,
             "beta": beta, "pdf_fwd": pdf_fwd,
             "pdf_rev_dir_to_prev": pdf_rev_dir,
             "prev_p": prev_p,

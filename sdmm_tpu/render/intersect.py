@@ -236,6 +236,35 @@ def surface_interaction(scene, ro, rd, hit):
         + uv_flat[:, 2:4] * u
         + uv_flat[:, 4:6] * v
     )
+    if scene.tri_vc.shape[0] > 0 or scene.tri_eh.shape[0] > 0:
+        # Mesh-attribute texture channels ride along in the uv row
+        # (reference: Intersection.color / per-hit edge distances used by
+        # src/textures/{vertexcolors,curvature,wireframe}.cpp). Widening
+        # uv to [N, 6] = (u, v, vc.rgb, edge_dist) keeps the 26
+        # gather_params call sites unchanged; bsdf._gather_raw consumes
+        # channels 2:6 only for proc-texture rows.
+        u1, v1 = hit["u"], hit["v"]  # [N]
+        b0 = 1.0 - u1 - v1
+        if scene.tri_vc.shape[0] > 0:
+            vc_flat = scene.tri_vc[tri]  # [N, 9]
+            vc = (vc_flat[:, 0:3] * b0[:, None]
+                  + vc_flat[:, 3:6] * u1[:, None]
+                  + vc_flat[:, 6:9] * v1[:, None])
+        else:
+            vc = jnp.zeros(uv.shape[:-1] + (3,))
+        if scene.tri_eh.shape[0] > 0:
+            eh = scene.tri_eh[tri]  # [N, 3]
+            # Distance to the nearest edge LINE: min_i bary_i · h_i. For
+            # interior points this equals the reference's point-to-segment
+            # minimum (wireframe.cpp:110-119) except within a corner's
+            # Voronoi region, where it slightly underestimates (draws
+            # marginally thicker corners).
+            ed = jnp.minimum(
+                jnp.minimum(b0 * eh[:, 0], u1 * eh[:, 1]), v1 * eh[:, 2]
+            )
+        else:
+            ed = jnp.zeros(uv.shape[:-1])
+        uv = jnp.concatenate([uv, vc, ed[:, None]], axis=-1)
     # Align shading normal hemisphere handling is done by BSDF frame logic.
     bsdf = scene.tri_bsdf[tri]
     emitter = scene.tri_emitter[tri]

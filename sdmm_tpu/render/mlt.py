@@ -158,7 +158,10 @@ def trace_path_record(scene, key, spos, width, height, max_depth,
         ro2 = it["p"] + it["ng"] * jnp.where(
             wo_dot_geo > 0, RAY_EPS, -RAY_EPS)[:, None]
         rec = {
-            "pos": it["p"], "ns": it["ns"], "ng": it["ng"], "uv": it["uv"],
+            "pos": it["p"], "ns": it["ns"], "ng": it["ng"],
+            # Fixed-width path buffers store plain (u, v) only; mesh-attr
+            # texture channels (widened uv rows) don't survive mutation.
+            "uv": it["uv"][..., :2],
             "bsdf": it["bsdf"], "delta": bs["delta"],
             "emitter": it["emitter"],
             "done_now": done_now,
@@ -402,7 +405,7 @@ def retrace_chain(scene, path, spos_new, j, width, height, bsdf_types,
         ok = ok & jnp.where(step_active, same, True)
         upd = (step_active & ok)[:, None]
         for f, v in (("pos", it["p"]), ("ns", it["ns"]), ("ng", it["ng"]),
-                     ("uv", it["uv"])):
+                     ("uv", it["uv"][..., :2])):
             new[f] = new[f].at[:, i].set(jnp.where(upd, v, new[f][:, i]))
         if i + 1 >= d:
             break
@@ -504,7 +507,7 @@ def retrace_down(scene, path, m, wo_new, bsdf_types):
         upd = (step_active & ok)[:, None]
         sl = jnp.maximum(slot, 0)
         for f, v in (("pos", it["p"]), ("ns", it["ns"]), ("ng", it["ng"]),
-                     ("uv", it["uv"])):
+                     ("uv", it["uv"][..., :2])):
             col = jnp.take_along_axis(new[f], sl.reshape(
                 -1, *([1] * (new[f].ndim - 1))), axis=1)[:, 0]
             merged = jnp.where(upd, v, col)

@@ -34,6 +34,12 @@ BSDF_ROUGHDIELECTRIC = 6
 BSDF_NULL = 7
 BSDF_PLASTIC = 8
 BSDF_WARD = 9  # anisotropic glossy (reference: bsdfs/ward.cpp)
+
+# Procedural texture kinds (reference: src/textures/*.cpp).
+PROC_CHECKERBOARD = 0
+PROC_GRID = 1
+PROC_MESHATTR = 2  # vertexcolors / curvature baked to vertex colors
+PROC_WIREFRAME = 3
 BSDF_BLEND = 10  # two-child mixture (reference: bsdfs/blendbsdf.cpp)
 BSDF_MASK = 11  # opacity mask over a child (reference: bsdfs/mask.cpp)
 BSDF_ROUGHDIFFUSE = 12  # Oren-Nayar (reference: bsdfs/roughdiffuse.cpp)
@@ -74,6 +80,13 @@ class SceneData(NamedTuple):
     bsdf_child1: jnp.ndarray  # [B] int32 second child (blend)
     bsdf_weight: jnp.ndarray  # [B] blend factor toward child1
     textures: jnp.ndarray  # [NT, R, R, 3] resampled texture stack
+    # Procedural textures (reference: src/textures/{checkerboard,
+    # gridtexture,wireframe,vertexcolors,curvature}.cpp). Encoded in
+    # bsdf_tex as -(idx+2); rows: [kind, c0(3), c1(3), uscale, vscale,
+    # uoffset, voffset, line_width, step_width]. [0, 13] = none.
+    proc_tex: jnp.ndarray  # [NP, 13]
+    tri_vc: jnp.ndarray  # [T, 9] per-corner mesh colors ([0, 9] = none)
+    tri_eh: jnp.ndarray  # [T, 3] per-edge interior heights ([0, 3] = none)
     # Emitters.
     emitter_radiance: jnp.ndarray  # [E, 3]
     em_tri_idx: jnp.ndarray  # [M] triangle ids of emissive tris
@@ -202,6 +215,7 @@ class SceneBuilder:
     irawan_pattern: object = None  # WeavePattern (bsdf/irawan.py)
     bsdfs: list[dict] = field(default_factory=list)
     textures: list[np.ndarray] = field(default_factory=list)  # [R,R,3] each
+    proc_textures: list[dict] = field(default_factory=list)
     texture_res: int = 256
     bsdf_ids: dict = field(default_factory=dict)
     emitters: list[np.ndarray] = field(default_factory=list)
@@ -255,6 +269,26 @@ class SceneBuilder:
             img = np.repeat(img[..., None], 3, axis=-1)
         self.textures.append(img[..., :3])
         return len(self.textures) - 1
+
+    def add_proc_texture(self, kind: int, color0=(0.4, 0.4, 0.4),
+                         color1=(0.2, 0.2, 0.2), uscale: float = 1.0,
+                         vscale: float = 1.0, uoffset: float = 0.0,
+                         voffset: float = 0.0, line_width: float = 0.01,
+                         step_width: float = 0.5) -> int:
+        """Register a procedural texture; returns the encoded id -(idx+2)
+        for ``bsdf_tex``. Kinds: PROC_CHECKERBOARD / PROC_GRID /
+        PROC_MESHATTR (vertexcolors or baked curvature) / PROC_WIREFRAME
+        (reference: src/textures/*.cpp; evaluated branchlessly per hit in
+        bsdf._gather_raw instead of virtual Texture::eval calls)."""
+        self.proc_textures.append(dict(
+            kind=int(kind),
+            color0=np.asarray(color0, np.float64).reshape(3),
+            color1=np.asarray(color1, np.float64).reshape(3),
+            uscale=float(uscale), vscale=float(vscale),
+            uoffset=float(uoffset), voffset=float(voffset),
+            line_width=float(line_width), step_width=float(step_width),
+        ))
+        return -(len(self.proc_textures) - 1) - 2
 
     def add_emitter(self, radiance: np.ndarray) -> int:
         self.emitters.append(np.asarray(radiance, dtype=np.float64))
@@ -390,6 +424,8 @@ class SceneBuilder:
             ambient_id = len(media_rows)
 
         all_v, all_n, all_uv, all_b, all_e, all_mi, all_me = [], [], [], [], [], [], []
+        all_vc = []
+        any_colors = False
         all_mot = []
         mot_mats = []  # (M0, M1) rows for animated shapes
         motion_list = list(self.shape_motion) + [None] * (
@@ -403,10 +439,12 @@ class SceneBuilder:
             sss_i = entry[5] if len(entry) > 5 else -1
             if exterior_i < 0:
                 exterior_i = ambient_id
-            v, n, uv = soup.concat()
+            v, n, uv, vc = soup.concat()
             all_v.append(v)
             all_n.append(n)
             all_uv.append(uv)
+            all_vc.append(vc)
+            any_colors = any_colors or soup.has_colors
             all_b.append(np.full(len(v), bsdf_i, dtype=np.int32))
             all_e.append(np.full(len(v), emitter_i, dtype=np.int32))
             all_mi.append(np.full(len(v), interior_i, dtype=np.int32))
@@ -420,6 +458,7 @@ class SceneBuilder:
         verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3))
         normals = np.concatenate(all_n) if all_n else np.zeros((0, 3, 3))
         uvs = np.concatenate(all_uv) if all_uv else np.zeros((0, 3, 2))
+        vcs = np.concatenate(all_vc) if all_vc else np.zeros((0, 3, 3))
         tri_bsdf = np.concatenate(all_b) if all_b else np.zeros(0, np.int32)
         tri_emitter = np.concatenate(all_e) if all_e else np.zeros(0, np.int32)
         tri_mot = np.concatenate(all_mot) if all_mot else np.zeros(0, np.int32)
@@ -465,6 +504,7 @@ class SceneBuilder:
             ng = np.concatenate([ng, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
             normals = np.concatenate([normals, np.tile(np.eye(3)[None, 2:3], (pad, 3, 1)).reshape(pad, 3, 3)])
             uvs = np.concatenate([uvs, np.zeros((pad, 3, 2))])
+            vcs = np.concatenate([vcs, np.zeros((pad, 3, 3))])
             tri_bsdf = np.concatenate([tri_bsdf, np.zeros(pad, np.int32)])
             tri_emitter = np.concatenate([tri_emitter, np.full(pad, -1, np.int32)])
             tri_mot = np.concatenate([tri_mot, np.full(pad, -1, np.int32)])
@@ -599,6 +639,55 @@ class SceneBuilder:
                 "consts": np.full(12, 0.5, np.float32),
             }
         iw["pattern"] = jnp.asarray(iw["pattern"], jnp.int32)
+
+        # Procedural texture rows + mesh-attribute tables. tri_vc / tri_eh
+        # ship only when used — their shape[0] > 0 is the (static) gate
+        # that widens surface_interaction's uv row to carry them.
+        if self.proc_textures:
+            need_wire = any(
+                pt["kind"] == PROC_WIREFRAME for pt in self.proc_textures)
+            rows = []
+            for pi, pt in enumerate(self.proc_textures):
+                lw = pt["line_width"]
+                if pt["kind"] == PROC_WIREFRAME and lw <= 0.0:
+                    # Auto line width = 10% of the mean edge length of the
+                    # triangles actually using this texture (reference:
+                    # wireframe.cpp:90-104 computes it per mesh).
+                    code = -pi - 2
+                    use_b = {bi for bi, b in enumerate(self.bsdfs)
+                             if b.get("tex", -1) == code}
+                    mask = np.isin(tri_bsdf[:T], np.asarray(sorted(use_b)))
+                    if np.any(mask):
+                        el = (np.linalg.norm(e1[:T][mask], axis=-1)
+                              + np.linalg.norm(e2[:T][mask], axis=-1)
+                              + np.linalg.norm(
+                                  (e2[:T] - e1[:T])[mask], axis=-1))
+                        lw = 0.1 * float(el.mean()) / 3.0
+                    else:
+                        lw = 0.01
+                rows.append(np.concatenate([
+                    [float(pt["kind"])], pt["color0"], pt["color1"],
+                    [pt["uscale"], pt["vscale"], pt["uoffset"],
+                     pt["voffset"], lw, pt["step_width"]],
+                ]))
+            proc_tex = np.stack(rows)
+        else:
+            need_wire = False
+            proc_tex = np.zeros((0, 13))
+        if need_wire and len(verts):
+            area2_all = np.linalg.norm(np.cross(e1, e2), axis=-1)
+            l_e1 = np.maximum(np.linalg.norm(e1, axis=-1), 1e-20)
+            l_e2 = np.maximum(np.linalg.norm(e2, axis=-1), 1e-20)
+            l_e12 = np.maximum(np.linalg.norm(e2 - e1, axis=-1), 1e-20)
+            # h_i = 2·area / |edge opposite vertex i|; interior distance to
+            # that edge's line is then bary_i · h_i (intersect.py).
+            tri_eh = np.stack(
+                [area2_all / l_e12, area2_all / l_e2, area2_all / l_e1],
+                axis=-1)
+        else:
+            tri_eh = np.zeros((0, 3))
+        tri_vc = vcs.reshape(-1, 9) if any_colors else np.zeros((0, 9))
+
         data = SceneData(
             tri_v0=f32(v0), tri_e1=f32(e1), tri_e2=f32(e2), tri_ng=f32(ng),
             tri_ns=f32(normals), tri_uv=f32(uvs),
@@ -618,6 +707,9 @@ class SceneBuilder:
             bsdf_child1=i32([b.get("child1", -1) for b in self.bsdfs]),
             bsdf_weight=f32([b.get("weight", 0.5) for b in self.bsdfs]),
             textures=f32(stack),
+            proc_tex=f32(proc_tex),
+            tri_vc=f32(tri_vc),
+            tri_eh=f32(tri_eh),
             emitter_radiance=f32(np.asarray(self.emitters).reshape(-1, 3))
             if self.emitters else f32(np.zeros((1, 3))),
             em_tri_idx=i32(em_idx), em_tri_cdf=f32(cdf), em_tri_pdf=f32(pdf),

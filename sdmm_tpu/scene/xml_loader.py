@@ -186,6 +186,9 @@ class XMLLoader:
         self.builder = SceneBuilder()
         self.base_dir = "."
         self.shapegroups: dict = {}
+        # tex code -> (curvature kind, scale): shapes whose BSDF carries a
+        # curvature texture bake it into vertex colors at load (_shape).
+        self.curvature_notes: dict = {}
 
     def load(self, path: str) -> SceneBuilder:
         self.base_dir = os.path.dirname(os.path.abspath(path))
@@ -496,7 +499,7 @@ class XMLLoader:
             return self.builder.add_bsdf(BSDF_MASK, name=name, child0=c0, albedo=op)
         kwargs = {}
         tex_id = self._bsdf_texture(el)
-        if tex_id >= 0:
+        if tex_id >= 0 or tex_id <= -2:  # bitmap id or -(idx+2) procedural
             kwargs["tex"] = tex_id
         if btype == "diffuse":
             code = BSDF_DIFFUSE
@@ -614,33 +617,92 @@ class XMLLoader:
         return self.builder.add_bsdf(code, name=name, **kwargs)
 
     def _bsdf_texture(self, el, srgb: bool = True) -> int:
-        """Load a nested <texture type=bitmap> (albedo channels only).
+        """Load a nested <texture> (albedo channels only).
 
-        Returns a texture id or -1. LFS-stub/unreadable files fall back to a
-        mid-gray placeholder so scenes still load. ``srgb=False`` skips the
-        sRGB→linear conversion (normal maps store raw vectors).
+        Returns a texture id (bitmap stack index, or -(idx+2) for
+        procedural textures), or -1. LFS-stub/unreadable files fall back
+        to a mid-gray placeholder so scenes still load. ``srgb=False``
+        skips the sRGB→linear conversion (normal maps store raw vectors).
         """
         for sub in el:
-            if sub.tag == "texture" and sub.get("type") == "bitmap":
-                tp = _props(sub, self.variables)
-                fname = tp.get("filename")
-                img = None
-                if fname:
-                    path = os.path.join(self.base_dir, fname)
-                    try:
-                        from PIL import Image
+            if sub.tag == "texture":
+                return self._texture(sub, srgb=srgb)
+        return -1
 
-                        img = np.asarray(
-                            Image.open(path).convert("RGB"), dtype=np.float32
-                        ) / 255.0
-                        if srgb:
-                            # sRGB → linear (approximate).
-                            img = img ** 2.2
-                    except Exception:
-                        img = None
-                if img is None:
-                    img = np.full((4, 4, 3), 0.5, np.float32)
-                return self.builder.add_texture(img)
+    def _texture(self, sub, srgb: bool = True, mul: float = 1.0) -> int:
+        """One <texture> element → texture id. Handles bitmap, scale
+        (recursive wrapper, src/textures/scale.cpp), and the procedural
+        plugins checkerboard/gridtexture/wireframe/vertexcolors/curvature
+        (src/textures/*.cpp) — lowered to proc_tex rows evaluated
+        branchlessly per hit (bsdf.eval_proc_texture)."""
+        from .scene import (
+            PROC_CHECKERBOARD, PROC_GRID, PROC_MESHATTR, PROC_WIREFRAME,
+        )
+
+        ttype = sub.get("type")
+        tp = _props(sub, self.variables)
+
+        def spec(name, default):
+            v = tp.get(name, None)
+            if v is None:
+                return np.full(3, default)
+            return np.broadcast_to(
+                np.asarray(v, np.float64).reshape(-1), (3,)).copy()
+
+        uvkw = dict(
+            uscale=float(tp.get("uscale", 1.0)),
+            vscale=float(tp.get("vscale", 1.0)),
+            uoffset=float(tp.get("uoffset", 0.0)),
+            voffset=float(tp.get("voffset", 0.0)),
+        )
+        if ttype == "bitmap":
+            fname = tp.get("filename")
+            img = None
+            if fname:
+                path = os.path.join(self.base_dir, fname)
+                try:
+                    from PIL import Image
+
+                    img = np.asarray(
+                        Image.open(path).convert("RGB"), dtype=np.float32
+                    ) / 255.0
+                    if srgb:
+                        # sRGB → linear (approximate).
+                        img = img ** 2.2
+                except Exception:
+                    img = None
+            if img is None:
+                img = np.full((4, 4, 3), 0.5, np.float32)
+            return self.builder.add_texture(img * mul)
+        if ttype == "scale":
+            s = float(tp.get("scale", tp.get("value", 1.0)))
+            for ssub in sub:
+                if ssub.tag == "texture":
+                    return self._texture(ssub, srgb=srgb, mul=mul * s)
+            return -1
+        if ttype == "checkerboard":
+            return self.builder.add_proc_texture(
+                PROC_CHECKERBOARD, color0=spec("color0", 0.4) * mul,
+                color1=spec("color1", 0.2) * mul, **uvkw)
+        if ttype == "gridtexture":
+            return self.builder.add_proc_texture(
+                PROC_GRID, color0=spec("color0", 0.2) * mul,
+                color1=spec("color1", 0.4) * mul,
+                line_width=float(tp.get("lineWidth", 0.01)), **uvkw)
+        if ttype == "wireframe":
+            return self.builder.add_proc_texture(
+                PROC_WIREFRAME, color0=spec("edgeColor", 0.1) * mul,
+                color1=spec("interiorColor", 0.5) * mul,
+                line_width=float(tp.get("lineWidth", 0.0)),
+                step_width=min(max(float(tp.get("stepWidth", 0.5)), 0.0),
+                               1.0))
+        if ttype == "vertexcolors":
+            return self.builder.add_proc_texture(PROC_MESHATTR)
+        if ttype == "curvature":
+            code = self.builder.add_proc_texture(PROC_MESHATTR)
+            self.curvature_notes[code] = (
+                tp.get("curvature", "gaussian"), float(tp.get("scale", 1.0)))
+            return code
         return -1
 
     def _shape(self, el, base_dir, collect: list | None = None):
@@ -863,7 +925,8 @@ class XMLLoader:
                         if fname:
                             break
             if not fname:
-                return  # procedural textures unsupported: skip
+                return  # heightfield from a nested procedural height
+                # texture: unsupported corner (file-based heights only)
             data = shp.load_height_data(os.path.join(base_dir, fname), scale)
             soup = shp.make_heightfield(
                 data, to_world,
@@ -872,6 +935,11 @@ class XMLLoader:
             )
         else:
             return  # unsupported shape type: skip
+        if self.curvature_notes:
+            code = self.builder.bsdfs[bsdf_idx].get("tex", -1)
+            if code in self.curvature_notes:
+                ck, cs = self.curvature_notes[code]
+                soup = shp.bake_curvature(soup, kind=ck, scale=cs)
         if collect is not None:
             collect.append((soup, bsdf_idx, emitter_idx, interior_med))
         else:
