@@ -102,12 +102,23 @@ def main():
     trainer = SDMMTrainer(scene, cfg, TrainerConfig(
         tail_chunk_spp=args.tail_chunk, optimize_async=True,
         bsdf_fraction=args.bsdf_fraction))
-    img, _ = trainer.run(total_spp=args.spp, on_iteration=on_iter)
+    img, iters = trainer.run(total_spp=args.spp, on_iteration=on_iter)
     m = all_metrics(np.asarray(img), gt)
     m["seconds"] = time.time() - t0
     out["sdmm_combined"] = m
     print(f"sdmm combined: {json.dumps(m)}", flush=True)
     write_exr(os.path.join(args.out, "sdmm.exr"), np.asarray(img))
+    np.savez_compressed(
+        os.path.join(args.out, "sdmm_iters.npz"),
+        image=np.stack([it["image"] for it in iters]),
+        sqr=np.stack([it["sqr"] for it in iters]),
+        weight=np.stack([it["weight"] for it in iters]),
+    )
+    # Guide-model checkpoint for offline anatomy probes.
+    from sdmm_tpu.guiding import io as gio
+
+    gio.save_full_checkpoint(
+        os.path.join(args.out, "sdmm_model.ckpt"), trainer, [])
 
     # --- pure guided probe with the frozen model ---
     t0 = time.time()

@@ -38,6 +38,20 @@ class EMConfig(NamedTuple):
     a_prior: float = 100.0  # (a_prior / K) = inverse-Wishart dof - 2
     b_prior_diag: float = 1e-5  # isotropic covariance prior scale
     spatial_eps: float = 1e-8  # extra spatial diagonal prior ("bDepthPrior")
+    spatial_floor_frac: float = 0.2  # NON-decaying spatial covariance floor
+    # as a fraction of the leaf extent (per axis), applied when m_step
+    # receives leaf extents. Rationale (round-5 anatomy probe,
+    # scripts/diag_anatomy.py): with nothing but the DECAYING priors, the
+    # fitted spatial covariances collapse onto their sample clusters
+    # (sub-1% of the leaf); the conditional then degenerates into a
+    # nearest-spatial-component lookup, and rare-but-critical lobes (the
+    # direct-light lobe, learned from few high-weight samples) get ~zero
+    # conditional weight over most of the leaf — measured 74% of
+    # first-bounce probes "blind" to the light with the lobe PRESENT in
+    # the leaf mixture. The floor keeps every lobe's spatial marginal
+    # alive across ~1/frac sigma of its leaf, the same role as the
+    # reference's non-decaying bDepthPrior (jmm/mixture_model_init.h:228,
+    # n·nᵀ·1e-6) scaled to be effective in canonical units.
     training_cutoff: int = 32  # prior decay clamp (stepwise_tangent.h:756)
     jacobian_correction: bool = True  # transport covs between tangent frames
     batch_size: int = 1 << 16  # E-step sample chunk
@@ -153,6 +167,7 @@ def m_step(
     weight_sum: jnp.ndarray,
     active: jnp.ndarray,  # [L] bool: leaves to update this iteration
     cfg: EMConfig = EMConfig(),
+    leaf_ext: jnp.ndarray | None = None,  # [L, 3] leaf extents (canonical)
 ):
     """One stepwise M-step; returns (new_sdmm, new_em_state)."""
     L, K = sdmm.weight.shape
@@ -217,6 +232,13 @@ def m_step(
     jfull = jfull.at[..., 3:, 3:].set(j2)
     c_new = jnp.einsum("...ij,...jk,...lk->...il", jfull, c_new, jfull)
     c_new = 0.5 * (c_new + jnp.swapaxes(c_new, -1, -2))
+
+    # Non-decaying per-leaf spatial floor (see EMConfig.spatial_floor_frac).
+    if leaf_ext is not None and cfg.spatial_floor_frac > 0.0:
+        floor = (cfg.spatial_floor_frac * leaf_ext) ** 2  # [L, 3]
+        c_new = c_new.at[..., :3, :3].add(
+            floor[:, None, :, None] * jnp.eye(3)
+        )
 
     # PD enforcement. The reference kills any non-PD update outright
     # (stepwise_tangent.h:945-960); in exact arithmetic E[tt^T]−μμ^T is
@@ -303,7 +325,8 @@ def _use_pallas_e_step(sdmm) -> bool:
     )
 
 
-def em_step(sdmm, em, pos, d, weight, leaf, active, cfg: EMConfig = EMConfig()):
+def em_step(sdmm, em, pos, d, weight, leaf, active, cfg: EMConfig = EMConfig(),
+            leaf_ext=None):
     """Full EM iteration: prepare → E-step → M-step. Returns (sdmm, em, prep)."""
     n_leaves = sdmm.weight.shape[0]
     prep = mix.prepare(sdmm)
@@ -317,7 +340,8 @@ def em_step(sdmm, em, pos, d, weight, leaf, active, cfg: EMConfig = EMConfig()):
         sw, sm, sc, ws, cnt = e_step(
             sdmm, prep, pos, d, weight, leaf, n_leaves, cfg.batch_size
         )
-    new_sdmm, new_em = m_step(sdmm, prep, em, sw, sm, sc, ws, active, cfg)
+    new_sdmm, new_em = m_step(sdmm, prep, em, sw, sm, sc, ws, active, cfg,
+                              leaf_ext=leaf_ext)
     return new_sdmm, new_em, cnt
 
 

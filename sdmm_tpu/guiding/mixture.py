@@ -24,6 +24,8 @@ from ..core import warp
 from . import tangent as tg
 
 INV_SQRT_TWO_PI = 0.3989422804014327
+Z_TRUST = 3.0  # whitened-sigma trust radius for conditional extrapolation
+# (see create_conditional; mirrored in ops/guided_pallas.py)
 
 
 class SDMM(NamedTuple):
@@ -215,10 +217,8 @@ def create_conditional(prep_g, weight_g, pos) -> Conditional:
     """
     centered = pos[..., None, :] - prep_g.mu_a
     z = jnp.einsum("...ij,...j->...i", prep_g.marg_inv_chol, centered)
-    logm = (
-        jnp.log(jnp.maximum(prep_g.marg_inv_det, 1e-38))
-        - 0.5 * jnp.sum(z * z, axis=-1)
-    )
+    q = jnp.sum(z * z, axis=-1)
+    logm = jnp.log(jnp.maximum(prep_g.marg_inv_det, 1e-38)) - 0.5 * q
     logw = jnp.where(
         prep_g.valid & (weight_g > 0.0),
         jnp.log(jnp.maximum(weight_g, 1e-38)) + logm,
@@ -232,8 +232,22 @@ def create_conditional(prep_g, weight_g, pos) -> Conditional:
     )
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-38)
 
-    t_mean = jnp.einsum(
-        "...ij,...j->...i", prep_g.premult, pos[..., None, :] - prep_g.mu_a
+    # Extrapolation trust region: the conditional mean shift
+    # mu_{B|A} = Sigma_BA Sigma_AA^-1 (x - mu_A) is a LINEAR
+    # extrapolation; tens of whitened sigma from a component (tight
+    # post-decay EM spatial clusters) it produces confidently-wrong
+    # directional lobes. The reference never evaluates these - its
+    # linear-f32 marginal underflows there and the whole conditional
+    # falls back to BSDF sampling (jmm/mixture_model.h:292-297 invSum
+    # isfinite check). Instead of disabling guiding, the conditioning
+    # offset is CLAMPED to the Z_TRUST*sigma surface per component
+    # (sampling and pdf use the same clamped conditional, so the
+    # estimator stays unbiased); the component WEIGHTS keep the true
+    # distances, so the nearest component still dominates.
+    zn = jnp.sqrt(jnp.maximum(q, 1e-30))
+    cl = jnp.minimum(1.0, Z_TRUST / zn)
+    t_mean = cl[..., None] * jnp.einsum(
+        "...ij,...j->...i", prep_g.premult, centered
     )
     mu_dir, _, exp_ok = tg.exp_map(prep_g.rot, t_mean)
     # Out-of-range conditional means (|t| ≥ π) zero that component.

@@ -435,7 +435,17 @@ class SDMMTrainer:
             ]))
             for r, kr in ((0, k1), (1, k2)):
                 mask = valid & (n_rep > r)
-                rcap = max(8192, -(-int(n_masks[r]) // 8192) * 8192)
+                # Next power of two, monotone across iterations: rcap only
+                # ever grows, so the jitted find_leaf/compact shapes stay
+                # stable (per-iteration bucket changes recompiled every
+                # iteration — measured 8x wall-clock blowup).
+                rcap = 8192
+                while rcap < int(n_masks[r]):
+                    rcap *= 2
+                prev = getattr(self, "_rcap_max", [8192, 8192])
+                rcap = max(rcap, prev[r])
+                prev[r] = rcap
+                self._rcap_max = prev
                 filled, (cpos, cd, cw, cleaf, cdiag) = _compact(
                     mask, rcap, pos, d, wgt, leaf, diag)
                 leaf_r, pos_r = _dest_leaf(kr, cpos, cleaf, cdiag)
@@ -502,9 +512,11 @@ class SDMMTrainer:
                 )
 
         n_inner = 2 if self.iteration < self.cfg.double_em_until else 1
+        leaf_ext = self.tables["leaf_hi"] - self.tables["leaf_lo"]
         for _ in range(n_inner):
             self.sdmm, self.em, _ = em_mod.em_step(
-                self.sdmm, self.em, pos, d, wgt, leaf, active, c.em
+                self.sdmm, self.em, pos, d, wgt, leaf, active, c.em,
+                leaf_ext=leaf_ext,
             )
         self.prep = mix.prepare(self.sdmm)
         self.initialized = self.initialized | active
@@ -600,20 +612,49 @@ class SDMMTrainer:
         return self.combine(iters), iters
 
     def combine(self, iters):
-        """Inverse-variance weighted combination of per-iteration images
-        (reference: scripts/combine_renders.py:167-235)."""
+        """Inverse-variance weighted combination of per-iteration images,
+        faithful to the reference protocol (scripts/combine_renders.py,
+        'var' mode as invoked by run_tests.py:88):
+
+        - iterations with index < 4 are EXCLUDED (combine_renders.py:230
+          ``if iteration >= 4``) — the first 16 spp of untrained-guide
+          noise never enter the estimate;
+        - per-iteration variance is CLIPPED at 2000 before averaging
+          (:223 ``np.clip(image_variance, 0, 2000)``) so one firefly
+          cannot nuke its whole iteration's weight;
+        - weights are PER-CHANNEL mean variances (:224,:233), not scalar.
+        """
         rc = self.render_cfg
         h, w = rc.height, rc.width
         num = np.zeros((h * w, 3))
         den = np.zeros((h * w, 3))
-        for it in iters:
+        start = 4 if len(iters) > 4 else 0
+        means, pvars, spps = [], [], []
+        for it in iters[start:]:
             n = np.maximum(it["weight"], 1.0)[:, None]
             mean = it["image"] / n
-            var = np.maximum(it["sqr"] / n - mean * mean, 0.0) / np.maximum(n - 1, 1)
-            # Per-iteration scalar inverse-variance weights (avoid per-pixel bias).
-            iv = 1.0 / np.maximum(var.mean(), 1e-12)
-            num += iv * mean
-            den += iv
+            # Per-SAMPLE variance, clipped like the reference; dividing by
+            # the iteration's spp afterwards generalizes the reference's
+            # equal-spp weighting (a constant factor there) to our merged
+            # post-training tail chunks (variance of an n-sample mean).
+            var = np.maximum(it["sqr"] / n - mean * mean, 0.0) \
+                * (n / np.maximum(n - 1, 1.0))
+            var = np.clip(var, 0.0, 2000.0)
+            means.append(mean)
+            pvars.append(var.mean(axis=0))
+            spps.append(float(n.mean()))
+        # Zero-variance floor: a channel whose few-spp estimate happens to
+        # show NO variance (e.g. an all-black iteration of a tiny render)
+        # carries no evidence of being perfect — cap its weight at the
+        # best POSITIVE variance seen across iterations instead of 1/0.
+        pv = np.stack(pvars) if pvars else np.zeros((0, 3))
+        pos = np.where(pv > 0.0, pv, np.inf)
+        floor = np.where(np.isfinite(pos.min(axis=0)), pos.min(axis=0),
+                         1e-12)
+        for mean, var_c, spp_i in zip(means, pv, spps):
+            iv = spp_i / np.maximum(var_c, floor)  # [3]
+            num += iv[None, :] * mean
+            den += iv[None, :]
         # Post-hoc quality metrics (reference: combine_renders.py:259-271
         # appends mean_pixel_variance and time-to-unit-variance).
         if iters and self.stats:

@@ -184,8 +184,12 @@ def guided_tile(row, px, py, pz, bx, by, bz, u_sel, u_r, u_th):
         lw_k = jnp.where(
             wd > 0.0, jnp.log(jnp.maximum(wd, 1e-38)) - 0.5 * q, _NEG
         )
-        tm0 = row(b + 10) * d0 + row(b + 11) * d1 + row(b + 12) * d2
-        tm1 = row(b + 13) * d0 + row(b + 14) * d1 + row(b + 15) * d2
+        # Conditional-extrapolation trust region (mixture.Z_TRUST): clamp
+        # the conditioning offset to the 3-whitened-sigma surface; must
+        # stay bit-consistent with mixture.create_conditional.
+        cl = jnp.minimum(1.0, 3.0 / jnp.sqrt(jnp.maximum(q, 1e-30)))
+        tm0 = cl * (row(b + 10) * d0 + row(b + 11) * d1 + row(b + 12) * d2)
+        tm1 = cl * (row(b + 13) * d0 + row(b + 14) * d1 + row(b + 15) * d2)
         lw.append(lw_k)
         tm0s.append(tm0)
         tm1s.append(tm1)

@@ -73,6 +73,8 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
             "rows": np.zeros((1, 9), np.float32),
             "ids": np.full((1, 1), -1, np.int32),
             "t_c": 1,
+            "woop": np.zeros((1, 12, 1), np.float32),
+            "aabb": np.full((8, 128), 3.4e38, np.float32),
         }
     if t_c is None:
         # 256 measured best on v5e: gather rows stay ~9 KB (latency-bound,
@@ -115,8 +117,13 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
          se1[:, :, 0], se1[:, :, 1], se1[:, :, 2],
          se2[:, :, 0], se2[:, :, 1], se2[:, :, 2]], axis=1,
     ).astype(np.float32)
+    from ..ops.clas_pallas import build_woop_rows
+
+    woop, aabb = build_woop_rows(
+        lo.astype(np.float32), hi.astype(np.float32), rows, int(t_c))
     return {"lo": lo.astype(np.float32), "hi": hi.astype(np.float32),
-            "rows": rows, "ids": idx, "t_c": int(t_c)}
+            "rows": rows, "ids": idx, "t_c": int(t_c),
+            "woop": woop, "aabb": aabb}
 
 
 def _round_key(scene, ro, rd, inv_d, limit_t, prev_key):

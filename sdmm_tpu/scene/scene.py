@@ -176,6 +176,8 @@ class SceneData(NamedTuple):
     clas_hi: jnp.ndarray  # [C, 3]
     clas_rows: jnp.ndarray  # [C, 9*Tc]
     clas_ids: jnp.ndarray  # [C, Tc] original tri ids (-1 pad)
+    clas_woop: jnp.ndarray  # [C, 12, Tc] Woop rows (ops/clas_pallas)
+    clas_aabb: jnp.ndarray  # [8, Cp] padded AABB table (ops/clas_pallas)
     # Subsurface scattering (dipole BSSRDF; reference:
     # src/subsurface/dipole.cpp). The irradiance-octree query becomes a
     # preprocess bake of the dipole-convolved exitance onto triangle
@@ -792,6 +794,7 @@ class SceneBuilder:
             tri_mot=i32(tri_mot),
             clas_lo=f32(clas["lo"]), clas_hi=f32(clas["hi"]),
             clas_rows=f32(clas["rows"]), clas_ids=i32(clas["ids"]),
+            clas_woop=f32(clas["woop"]), clas_aabb=f32(clas["aabb"]),
             tri_sss=i32(tri_sss),
             sss_eta=f32([s["eta"] for s in self.subsurfaces]
                         if self.subsurfaces else [1.0]),

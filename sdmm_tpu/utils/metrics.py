@@ -33,6 +33,18 @@ def mrse(img, ref, eps=1e-2):
     return float(np.mean((img - ref) ** 2 / (ref * ref + eps)))
 
 
+def mrse01(img, ref, eps=1e-2):
+    """MrSE on [0,1]-clipped images — the reference protocol's MrSE:
+    combine_renders.py:251 evaluates MrSE(clip(est,0,1), clip(gt,0,1))
+    (MAPE/SMAPE stay unclipped there). The clip bounds the influence of
+    rare firefly outliers, so this is the comparable number for the
+    reference's own MrSE tables."""
+    img, ref = _prep(img, ref)
+    img = np.clip(img, 0.0, 1.0)
+    ref = np.clip(ref, 0.0, 1.0)
+    return float(np.mean((img - ref) ** 2 / (ref * ref + eps)))
+
+
 def mape(img, ref, eps=1e-2):
     img, ref = _prep(img, ref)
     return float(np.mean(np.abs(img - ref) / (ref + eps)))
@@ -77,6 +89,7 @@ def all_metrics(img, ref) -> dict:
         "l1": l1(img, ref),
         "l2": l2(img, ref),
         "mrse": mrse(img, ref),
+        "mrse01": mrse01(img, ref),
         "mape": mape(img, ref),
         "smape": smape(img, ref),
         "ssim": ssim(img, ref),
