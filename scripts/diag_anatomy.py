@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=180)
     ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--inflate", type=float, default=0.0,
+                    help="post-hoc spatial covariance floor as a fraction "
+                    "of leaf extent (sweeps EMConfig.spatial_floor_frac "
+                    "without retraining)")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +52,16 @@ def main():
     cfg.width, cfg.height = args.width, args.height
     trainer = SDMMTrainer(scene, cfg, TrainerConfig())
     trainer.restore(args.ckpt)
+    if args.inflate > 0.0:
+        import jax.numpy as jnp2
+
+        ext = trainer.tables["leaf_hi"] - trainer.tables["leaf_lo"]
+        floor = (args.inflate * ext) ** 2  # [L, 3]
+        cov = trainer.sdmm.cov.at[..., :3, :3].add(
+            floor[:, None, :, None] * jnp2.eye(3))
+        trainer.sdmm = trainer.sdmm._replace(cov=cov)
+        trainer.prep = mix.prepare(trainer.sdmm)
+        trainer._bump_model_version()
     gs = trainer.guide_state()
 
     # Light geometry: emissive triangle centroids.
@@ -132,9 +146,21 @@ def main():
     zmin = np.asarray(jnp.min(jnp.where(
         prep_g.valid, jnp.linalg.norm(z_sp, axis=-1), np.inf), axis=-1))
 
+    # Visibility: a probe whose view of the light is occluded SHOULD have
+    # no light lobe — only visible-and-blind probes are failures.
+    from sdmm_tpu.render.intersect import occluded as occ_fn
+
+    occ = np.asarray(occ_fn(
+        scene,
+        p + it["ng"] * 1e-4 * jnp.sign(
+            jnp.sum(d_light * it["ng"], -1, keepdims=True)),
+        d_light, dist[:, 0] * 0.98))
+
     sel = valid & cond_valid & (cos_pdf > 1e-3)
     ratio = pdf_g[sel] / np.maximum(cos_pdf[sel], 1e-9)
     blind = sel & (pdf_g / np.maximum(cos_pdf, 1e-9) < 0.05)
+    vis_sel = sel & ~occ
+    vis_blind = blind & ~occ
     out = {
         "n_probes": int(valid.sum()),
         "pct_cond_valid": float(100 * cond_valid[valid].mean()),
@@ -144,6 +170,9 @@ def main():
         },
         "pct_blind_0.05": float(100 * (ratio < 0.05).mean()),
         "pct_blind_0.2": float(100 * (ratio < 0.2).mean()),
+        "pct_visible": float(100 * vis_sel.sum() / max(1, sel.sum())),
+        "pct_blind_of_visible": float(
+            100 * vis_blind.sum() / max(1, vis_sel.sum())),
         "mean_light_hit_fraction": float(frac_hits[sel].mean()),
         "p10_light_hit_fraction": float(np.percentile(frac_hits[sel], 10)),
         "blind_probes": {

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--skip-ppg", action="store_true")
     ap.add_argument("--bsdf-fraction", type=float, default=0.5)
     ap.add_argument("--tail-chunk", type=int, default=64)
+    ap.add_argument("--floor", type=float, default=-1.0,
+                    help="override EMConfig.spatial_floor_frac")
     args = ap.parse_args()
 
     from sdmm_tpu.utils.cache import enable as enable_cache
@@ -99,9 +101,13 @@ def main():
         })
 
     t0 = time.time()
+    from sdmm_tpu.guiding import em as em_mod
+
+    em_cfg = em_mod.EMConfig() if args.floor < 0 else em_mod.EMConfig(
+        spatial_floor_frac=args.floor)
     trainer = SDMMTrainer(scene, cfg, TrainerConfig(
         tail_chunk_spp=args.tail_chunk, optimize_async=True,
-        bsdf_fraction=args.bsdf_fraction))
+        bsdf_fraction=args.bsdf_fraction, em=em_cfg))
     img, iters = trainer.run(total_spp=args.spp, on_iteration=on_iter)
     m = all_metrics(np.asarray(img), gt)
     m["seconds"] = time.time() - t0

@@ -51,7 +51,10 @@ class EMConfig(NamedTuple):
     # the leaf mixture. The floor keeps every lobe's spatial marginal
     # alive across ~1/frac sigma of its leaf, the same role as the
     # reference's non-decaying bDepthPrior (jmm/mixture_model_init.h:228,
-    # n·nᵀ·1e-6) scaled to be effective in canonical units.
+    # n·nᵀ·1e-6) scaled to be effective in canonical units. Post-hoc
+    # sweep on a trained protocol model (blind% at 0.05 cosine):
+    # 0.2 -> 55%, 0.4 -> 22%, 0.7 -> 21% — the residual ~20% is mostly
+    # genuinely occluded geometry (the probe does not test visibility).
     training_cutoff: int = 32  # prior decay clamp (stepwise_tangent.h:756)
     jacobian_correction: bool = True  # transport covs between tangent frames
     batch_size: int = 1 << 16  # E-step sample chunk

@@ -68,6 +68,16 @@ class TrainerConfig:
     # the fixed-wave scan tracer — same recorded-vertex semantics, ~an
     # order of magnitude less wall clock (VERDICT r3 #1). The mesh
     # (multi-device) path always uses the sharded scan tracer.
+    cond_floor_frac: float = 0.35  # spatial covariance inflation (fraction
+    # of leaf extent, per axis) applied to the GUIDE STATE only — the EM
+    # keeps fitting the sharp model. Round-5 anatomy finding: the fitted
+    # spatial marginals are so tight that conditioning degenerates to
+    # nearest-component lookup and lobes a few whitened sigma away get
+    # ~zero weight ("blind" conditionals, scripts/diag_anatomy.py);
+    # training WITH a broad floor instead blurs the fit. Inflating only
+    # at conditioning time keeps EM accuracy and makes every lobe's
+    # marginal reach across its leaf (post-hoc sweep: blind probes
+    # 55% -> 22% at 0.4 inflation on a sharp-trained protocol model).
     tail_chunk_spp: int = 0  # > 0: after training ends, render the
     # remaining budget in chunks of this many spp per iteration instead of
     # samples_per_iteration. The model is frozen post-training, so the
@@ -164,17 +174,28 @@ class SDMMTrainer:
     def _build_guide_state(self) -> GuideState:
         from ..ops import guided_pallas as gp
 
+        sdmm_c, prep_c = self.sdmm, self.prep
+        if self.cfg.cond_floor_frac > 0.0:
+            # Condition-time spatial inflation (see TrainerConfig
+            # .cond_floor_frac): the guide state's conditionals use
+            # leaf-wide spatial marginals; the EM state stays sharp.
+            ext = self.tables["leaf_hi"] - self.tables["leaf_lo"]
+            floor = (self.cfg.cond_floor_frac * ext) ** 2  # [L, 3]
+            cov = self.sdmm.cov.at[..., :3, :3].add(
+                floor[:, None, :, None] * jnp.eye(3))
+            sdmm_c = self.sdmm._replace(cov=cov)
+            prep_c = mix.prepare(sdmm_c)
         return GuideState(
-            sdmm=self.sdmm, prep=self.prep, initialized=self.initialized,
+            sdmm=sdmm_c, prep=prep_c, initialized=self.initialized,
             tables=self.tables,
             aabb_lo=self.scene.aabb_lo,
             inv_norm=jnp.float32(1.0 / self.spatial_norm),
             learned=self.learned,
             packed=mix.pack_conditioning(
-                self.prep, self.sdmm.weight, self.initialized
+                prep_c, sdmm_c.weight, self.initialized
             ),
             kernel_table=gp.pack_guided_rows(
-                self.prep, self.sdmm.weight, self.initialized
+                prep_c, sdmm_c.weight, self.initialized
             ).T if self.sdmm.weight.shape[1] == gp.K else None,
         )
 

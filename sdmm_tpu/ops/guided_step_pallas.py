@@ -53,13 +53,31 @@ SPLAT_ROWS = 10  # rgb, rgb^2, done-weight, n_vert, cond_try, cond_ok
 RAND_ROWS = 8  # u_sel, lobe_u, b2a, b2b, rr, g_sel, g_r, g_th
 
 
-def _trace_kernel(n_tris: int, n_cols: int, types: tuple):
+def _trace_kernel(n_tris: int, n_cols: int, types: tuple,
+                  tile_skip: bool = False):
     chunked = n_tris > MAX_UNROLL_TRIS
     n_chunks = n_cols // CHUNK if chunked else 0
     multi = any(t != T_DIFFUSE for t in types)
     has_cond = T_CONDUCTOR in types
     has_diel = T_DIELECTRIC in types
     has_rc = T_ROUGHCONDUCTOR in types
+
+    def outer(*refs):
+        if not tile_skip:
+            return kernel(*refs)
+        # Whole-tile skip (cost-sorted drain tails): dead tiles pass
+        # through at DMA cost — state copied, hit zeroed (on_surface 0).
+        alive_ref, rest = refs[0], refs[1:]
+        flag = alive_ref[pl.program_id(0)]
+
+        @pl.when(flag == 0)
+        def _passthrough():
+            rest[4][...] = rest[0][...]  # nstate = state
+            rest[5][...] = jnp.zeros_like(rest[5])  # hit
+
+        @pl.when(flag != 0)
+        def _run():
+            kernel(*rest)
 
     def kernel(state_ref, meta_ref, tri_ref, env_ref,
                nstate_ref, hit_ref, *maybe_scr):
@@ -232,15 +250,31 @@ def _trace_kernel(n_tris: int, n_cols: int, types: tuple):
         hit_ref[20] = b_sb
         hit_ref[21] = jnp.where(on_surface, 1.0, 0.0)
 
-    return kernel
+    return outer
 
 
 def _shade_kernel(types: tuple, max_depth: int, rr_depth: int,
-                  bsdf_fraction: float):
+                  bsdf_fraction: float, tile_skip: bool = False):
     multi = any(t != T_DIFFUSE for t in types)
     has_cond = T_CONDUCTOR in types
     has_diel = T_DIELECTRIC in types
     has_rc = T_ROUGHCONDUCTOR in types
+
+    def outer(*refs):
+        if not tile_skip:
+            return kernel(*refs)
+        alive_ref, rest = refs[0], refs[1:]
+        flag = alive_ref[pl.program_id(0)]
+
+        @pl.when(flag == 0)
+        def _passthrough():
+            rest[6][...] = rest[0][...]  # nstate = state
+            rest[7][...] = rest[1][...]  # nmeta = meta
+            rest[8][...] = jnp.zeros_like(rest[8])  # splat
+
+        @pl.when(flag != 0)
+        def _run():
+            kernel(*rest)
 
     def kernel(state_ref, meta_ref, hit_ref, cpos_ref, grows_ref, rand_ref,
                nstate_ref, nmeta_ref, splat_ref):
@@ -505,28 +539,40 @@ def _shade_kernel(types: tuple, max_depth: int, rr_depth: int,
             | exh
         )
 
-    return kernel
+    return outer
+
+
+def trace_rt(r: int, n_tris: int) -> int:
+    """The lane-tile height trace() will use for an [.., R, 128] wave —
+    callers building tile_alive flags must match this granularity."""
+    chunked = n_tris > MAX_UNROLL_TRIS
+    rt = RT if chunked else RT_TRACE
+    while r % rt:
+        rt //= 2
+    return rt
 
 
 @partial(jax.jit, static_argnames=("n_tris", "types", "interpret"))
 def trace(state, meta, tri_rows, env_row, n_tris: int, types: tuple,
-          interpret: bool = False):
+          interpret: bool = False, tile_alive=None):
     """Kernel A: intersect + emitter accumulate. state [16, R, 128] f32,
-    meta [R, 128] i32. Returns (new_state, hit [HIT_ROWS, R, 128])."""
+    meta [R, 128] i32. Returns (new_state, hit [HIT_ROWS, R, 128]).
+    ``tile_alive`` (optional [R // trace_rt(R)] i32): whole-tile skip."""
     r = state.shape[1]
     chunked = n_tris > MAX_UNROLL_TRIS
     n_cols = tri_rows.shape[1]
-    rt = RT if chunked else RT_TRACE  # chunked sweep state caps the tile
-    while r % rt:  # small waves (tests, tiny scenes): shrink the tile
-        rt //= 2
+    rt = trace_rt(r, n_tris)
     assert rt >= RT, (r, rt)
     grid = (r // rt,)
     scratch = [pltpu.VMEM((26, rt, 128), jnp.float32)] if chunked else []
+    tile_skip = tile_alive is not None
+    skip_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if tile_skip else []
+    skip_args = (tile_alive.astype(jnp.int32),) if tile_skip else ()
     return pl.pallas_call(
-        _trace_kernel(n_tris, n_cols, tuple(types)),
+        _trace_kernel(n_tris, n_cols, tuple(types), tile_skip=tile_skip),
         grid=grid,
         scratch_shapes=scratch,
-        in_specs=[
+        in_specs=skip_specs + [
             pl.BlockSpec((16, rt, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 128), lambda i: (i, 0),
@@ -544,9 +590,9 @@ def trace(state, meta, tri_rows, env_row, n_tris: int, types: tuple,
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
             jax.ShapeDtypeStruct((HIT_ROWS, r, 128), jnp.float32),
         ],
-        input_output_aliases={0: 0},
+        input_output_aliases={len(skip_args): 0},
         interpret=interpret,
-    )(state, meta, tri_rows, env_row)
+    )(*skip_args, state, meta, tri_rows, env_row)
 
 
 @partial(jax.jit, static_argnames=(
@@ -554,18 +600,23 @@ def trace(state, meta, tri_rows, env_row, n_tris: int, types: tuple,
 ))
 def shade(state, meta, hit, cpos, grows, rand, types: tuple,
           max_depth: int, rr_depth: int, bsdf_fraction: float,
-          interpret: bool = False):
+          interpret: bool = False, tile_alive=None):
     """Kernel B: guided + BSDF shading. grows [N_ROWS, R, 128] packed
     conditioning rows; cpos [3, R, 128] canonical hit positions; rand
     [RAND_ROWS, R, 128]. Returns (new_state, new_meta,
-    splat [SPLAT_ROWS, R, 128])."""
+    splat [SPLAT_ROWS, R, 128]).
+    ``tile_alive`` (optional [R // RT] i32): whole-tile skip."""
     r = state.shape[1]
     assert r % RT == 0
     grid = (r // RT,)
+    tile_skip = tile_alive is not None
+    skip_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if tile_skip else []
+    skip_args = (tile_alive.astype(jnp.int32),) if tile_skip else ()
     return pl.pallas_call(
-        _shade_kernel(tuple(types), max_depth, rr_depth, bsdf_fraction),
+        _shade_kernel(tuple(types), max_depth, rr_depth, bsdf_fraction,
+                      tile_skip=tile_skip),
         grid=grid,
-        in_specs=[
+        in_specs=skip_specs + [
             pl.BlockSpec((16, RT, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RT, 128), lambda i: (i, 0),
@@ -592,6 +643,6 @@ def shade(state, meta, hit, cpos, grows, rand, types: tuple,
             jax.ShapeDtypeStruct(meta.shape, jnp.int32),
             jax.ShapeDtypeStruct((SPLAT_ROWS, r, 128), jnp.float32),
         ],
-        input_output_aliases={0: 0, 1: 1},
+        input_output_aliases={len(skip_args): 0, len(skip_args) + 1: 1},
         interpret=interpret,
-    )(state, meta, hit, cpos, grows, rand)
+    )(*skip_args, state, meta, hit, cpos, grows, rand)

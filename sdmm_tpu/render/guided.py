@@ -1070,6 +1070,181 @@ def render_pool_guided_fused(
 
 
 @partial(jax.jit, static_argnames=(
+    "spp", "spp_pilot", "width", "height", "max_depth", "rr_depth",
+    "bsdf_fraction", "bsdf_types", "fov_axis", "interpret",
+))
+def render_pool_guided_sorted2(
+    scene,
+    gs: GuideState,
+    key,
+    spp: int,
+    width: int,
+    height: int,
+    spp_pilot: int = 8,
+    max_depth: int = 10,
+    rr_depth: int = 10,
+    bsdf_fraction: float = 0.5,
+    bsdf_types: tuple = (0,),
+    fov_axis: str = "x",
+    interpret: bool = False,
+):
+    """Cost-sorted pixel-stationary guided pool (the unguided sorted2
+    schedule, wavefront.render_pool_fused_sorted2, applied to the split
+    trace/shade guided kernels):
+
+    - pilot phase: every lane owns its own pixel for ``spp_pilot`` spp
+      and counts its ACTUAL path vertices (splat row 7);
+    - main phase: pixels are argsorted by measured cost, so each lane
+      tile holds equal-cost pixels and drains as a unit; dead tiles skip
+      both kernels via tile_alive flags (in-kernel passthrough);
+    - film is a DENSE per-lane [N, 7] accumulation (lane == pixel slot),
+      scattered into the pixel film once per phase — the per-step XLA
+      film scatter (~2 ms at 131k lanes, PERF.md r4) disappears.
+
+    Estimator-identical to render_pool_guided (same one-sample MIS).
+    """
+    from ..ops import bounce_pallas as bp
+    from ..ops import guided_step_pallas as gsp
+    from ..scene.sensor import generate_rays
+
+    n_pix = width * height
+    assert 0 < spp_pilot < spp and n_pix <= _PIX_MASK
+    n_tris = scene.tri_v0.shape[0]
+    r_rows0 = -(-n_pix // 128)
+    rt_tr = gsp.trace_rt(-(-r_rows0 // gsp.RT) * gsp.RT, n_tris)
+    tile = max(rt_tr, gsp.RT) * 128
+    n_lanes = -(-n_pix // tile) * tile
+    r_rows = n_lanes // 128
+    n_tiles_tr = r_rows // rt_tr
+    n_tiles_sh = r_rows // gsp.RT
+    assert max_depth <= _DEPTH_MASK + 1
+    tri_rows, _, env_row = bp.build_tables(scene)
+    kt16 = gs.kernel_table.astype(jnp.bfloat16)  # see render_pool_guided_fused
+    lane = jnp.arange(n_lanes, dtype=jnp.int32)
+
+    def run_phase(pix_of_lane, budget, k_phase):
+        px_base = (pix_of_lane % width).astype(jnp.float32)
+        py_base = (pix_of_lane // width).astype(jnp.float32)
+
+        def cond_fn(c):
+            meta = c["meta"]
+            return jnp.any(((meta & _ALIVE) != 0) | ((meta & _EXH) == 0))
+
+        def body(c):
+            k = jax.random.fold_in(k_phase, c["step"])
+            k_regen, k_rand = jax.random.split(k, 2)
+            st = c["state"]
+            meta = c["meta"]
+            alive = (meta & _ALIVE) != 0
+            exhausted = (meta & _EXH) != 0
+            count = meta & _PIX_MASK
+
+            need = ~alive & ~exhausted
+            start = need & (count < budget)
+            exhausted = exhausted | (need & ~start)
+            u = jax.random.uniform(k_regen, (n_lanes, 2))
+            ro_n, rd_n = generate_rays(
+                scene,
+                jnp.stack([px_base + u[:, 0], py_base + u[:, 1]], axis=-1),
+                width, height, fov_axis,
+            )
+            count = jnp.where(start, count + 1, count)
+            fresh = jnp.concatenate([
+                ro_n.T, rd_n.T, jnp.ones((3, n_lanes)),
+                jnp.zeros((3, n_lanes)),
+                jnp.ones((1, n_lanes)), jnp.zeros((3, n_lanes)),
+            ], axis=0)
+            st = jnp.where(start[None, :], fresh, st)
+            meta = (
+                count
+                | jnp.where(alive | start, _ALIVE, 0)
+                | jnp.where(exhausted, _EXH, 0)
+                | jnp.where(start, 0, meta & (_DEPTH_MASK << _DEPTH_SHIFT))
+            )
+            runnable = ((meta & _ALIVE) != 0)
+            alive_tr = jnp.any(
+                runnable.reshape(n_tiles_tr, rt_tr * 128), axis=1
+            ).astype(jnp.int32)
+            alive_sh = jnp.any(
+                runnable.reshape(n_tiles_sh, gsp.RT * 128), axis=1
+            ).astype(jnp.int32)
+
+            st3 = st.reshape(16, r_rows, 128)
+            meta3 = meta.reshape(r_rows, 128)
+            st3, hit = gsp.trace(
+                st3, meta3, tri_rows, env_row, n_tris=n_tris,
+                types=bsdf_types, interpret=interpret,
+                tile_alive=alive_tr,
+            )
+
+            hit_f = hit.reshape(gsp.HIT_ROWS, n_lanes)
+            p = hit_f[0:3].T
+            c_pos = canonical(gs, p)
+            leaf = stree.find_leaf(gs.tables, c_pos)
+            rows_t = kt16[leaf].T  # [C, N] bf16
+
+            rand = jax.random.uniform(k_rand, (gsp.RAND_ROWS, r_rows, 128))
+            st3, meta3, splat = gsp.shade(
+                st3, meta3, hit,
+                c_pos.T.reshape(3, r_rows, 128),
+                rows_t.reshape(gsp.N_ROWS, r_rows, 128),
+                rand, types=bsdf_types, max_depth=max_depth,
+                rr_depth=rr_depth, bsdf_fraction=bsdf_fraction,
+                interpret=interpret, tile_alive=alive_sh,
+            )
+            c["state"] = st3.reshape(16, n_lanes)
+            c["meta"] = meta3.reshape(n_lanes)
+            sp = splat.reshape(gsp.SPLAT_ROWS, n_lanes)
+            c["film"] = c["film"] + sp[0:gsp.SPLAT_ROWS].T
+            c["step"] = c["step"] + 1
+            return c
+
+        init = {
+            "step": jnp.int32(0),
+            "film": jnp.zeros((n_lanes, gsp.SPLAT_ROWS)),
+            "state": jnp.zeros((16, n_lanes))
+            .at[5].set(1.0)
+            .at[6:9].set(1.0)
+            .at[12].set(1.0),
+            "meta": jnp.where(
+                budget > 0, jnp.int32(0), jnp.int32(_EXH)
+            ),
+            "n_vert": jnp.float32(0.0),
+        }
+        out = jax.lax.while_loop(cond_fn, body, init)
+        return out["film"], out["step"]
+
+    in_image = lane < n_pix
+    pix_a = jnp.where(in_image, lane, 0)
+    film_a, steps_a = run_phase(
+        pix_a, jnp.where(in_image, spp_pilot, 0), key)
+
+    cost = jnp.where(in_image, film_a[:, 7], -1.0)
+    order = jnp.argsort(cost).astype(jnp.int32)
+    valid_b = cost[order] >= 0.0
+    film_b, steps_b = run_phase(
+        jnp.where(valid_b, order, 0),
+        jnp.where(valid_b, spp - spp_pilot, 0),
+        jax.random.fold_in(key, 1),
+    )
+
+    film = (
+        jnp.zeros((n_pix + 1, gsp.SPLAT_ROWS))
+        .at[jnp.where(in_image, pix_a, n_pix)].add(film_a)
+        .at[jnp.where(valid_b, order, n_pix)].add(film_b)
+    )[:n_pix]
+    return {
+        "image": film[:, 0:3],
+        "sqr": film[:, 3:6],
+        "weight": film[:, 6],
+        "n_vertices": jnp.sum(film[:, 7]),
+        "steps": steps_a + steps_b,
+        "n_cond_try": jnp.sum(film[:, 8]),
+        "n_cond_ok": jnp.sum(film[:, 9]),
+    }
+
+
+@partial(jax.jit, static_argnames=(
     "spp", "width", "height", "max_depth", "rr_depth",
     "bsdf_fraction", "bsdf_types", "fov_axis", "interpret",
 ))

@@ -222,3 +222,55 @@ def test_fused_guided_pool_matches_xla_pool_estimator():
     assert np.median(rel) < 0.3, (np.median(rel), rel)
     assert float(out_f["n_cond_ok"]) > 0
     assert float(out_f["n_vertices"]) > 0
+
+
+def test_sorted2_guided_pool_matches_xla_pool_estimator():
+    """The cost-sorted striped guided pool (pilot + tile-skip phases)
+    matches the XLA guided pool in expectation and spends the exact
+    sample budget."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_render import make_box_scene
+    from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig
+    from sdmm_tpu.guiding import em as em_mod
+    from sdmm_tpu.render.guided import (
+        guided_fused_supported, render_pool_guided,
+        render_pool_guided_sorted2,
+    )
+
+    b = make_box_scene(16, 16)
+    scene, cfg = b.build()
+    cfg.max_depth = 4
+    cfg.rr_depth = 4
+    tc = TrainerConfig(
+        n_components=gp.K, max_leaves=16, samples_per_iteration=8,
+        rays_per_wave=1024, em=em_mod.EMConfig(batch_size=256),
+    )
+    tr = SDMMTrainer(scene, cfg, tc)
+    for _ in range(3):
+        img, sqr, wgt, batches = tr.render_iteration(collect=True)
+        tr.optimize(batches)
+        tr.iteration += 1
+        tr.total_spp += tc.samples_per_iteration
+    gs = tr.guide_state()
+    assert guided_fused_supported(scene, cfg, gs)
+
+    kw = dict(spp=24, width=16, height=16,
+              max_depth=4, rr_depth=4, bsdf_fraction=0.5,
+              fov_axis=cfg.fov_axis)
+    out_x = render_pool_guided(
+        scene, gs, jax.random.PRNGKey(3), n_lanes=1024,
+        bsdf_types=cfg.bsdf_types or None, **kw)
+    out_s = render_pool_guided_sorted2(
+        scene, gs, jax.random.PRNGKey(3), spp_pilot=8,
+        bsdf_types=tuple(cfg.bsdf_types), interpret=True, **kw)
+    ix = np.asarray(out_x["image"]) / np.maximum(
+        np.asarray(out_x["weight"])[:, None], 1.0)
+    i_s = np.asarray(out_s["image"]) / np.maximum(
+        np.asarray(out_s["weight"])[:, None], 1.0)
+    assert np.isfinite(i_s).all()
+    assert float(out_s["weight"].sum()) == 16 * 16 * 24
+    assert abs(i_s.mean() - ix.mean()) / max(ix.mean(), 1e-9) < 0.12, (
+        i_s.mean(), ix.mean())
+    assert float(out_s["n_cond_ok"]) > 0
+    assert float(out_s["n_vertices"]) > 0
