@@ -127,11 +127,31 @@ class STree:
                 leaf_lo[self.leaf[i]] = self.node_lo[i]
                 leaf_hi[self.leaf[i]] = self.node_hi[i]
         grid, res = self._leaf_grid()
+        # STATIC SHAPES: every jitted consumer of the tables (the guided
+        # render pools, find_leaf, the EM prep) retraces when an array
+        # SHAPE changes. The tree refit grows the node arrays and the
+        # dyadic grid every training iteration; unpadded, that recompiled
+        # the entire guided pipeline per iteration (measured 15-25 s of
+        # XLA compile per 4-spp iteration on a cold cache). Node arrays
+        # pad to the 2·max_leaves bound (a binary tree with L leaves has
+        # 2L-1 nodes); the flat grid pads to power-of-4 buckets (the
+        # linear index never exceeds prod(res), so tail cells are inert)
+        # — at most ~6 retraces over a whole run instead of one per refit.
+        n_nodes_max = 2 * self.max_leaves
+        pad_n = max(0, n_nodes_max - len(self.axis))
+
+        def pad_i32(a, fill):
+            return jnp.asarray(
+                np.pad(np.asarray(a, np.int32), (0, pad_n),
+                       constant_values=fill), dtype=jnp.int32)
+
         tables = {
-            "axis": jnp.asarray(self.axis, dtype=jnp.int32),
-            "split": jnp.asarray(self.split, dtype=jnp.float32),
-            "child": jnp.asarray(self.child, dtype=jnp.int32),
-            "leaf": jnp.asarray(self.leaf, dtype=jnp.int32),
+            "axis": pad_i32(self.axis, 0),
+            "split": jnp.asarray(
+                np.pad(np.asarray(self.split, np.float32), (0, pad_n)),
+                dtype=jnp.float32),
+            "child": pad_i32(self.child, -1),
+            "leaf": pad_i32(self.leaf, 0),
             "leaf_lo": jnp.asarray(leaf_lo, dtype=jnp.float32),
             "leaf_hi": jnp.asarray(leaf_hi, dtype=jnp.float32),
         }
@@ -141,7 +161,12 @@ class STree:
             # ~2 ms for a 131k-ray wave). All split planes are dyadic
             # midpoints, so with per-axis resolution = 2^(max splits along
             # that axis) every leaf tiles an exact integer box of cells.
-            tables["grid"] = jnp.asarray(grid.reshape(-1), dtype=jnp.int32)
+            flat = grid.reshape(-1)
+            cap = 1 << 20  # 4 MB i32: one shape covers nearly every run
+            while cap < flat.size:
+                cap *= 4
+            tables["grid"] = jnp.asarray(
+                np.pad(flat, (0, cap - flat.size)), dtype=jnp.int32)
             tables["grid_lo"] = jnp.asarray(self.lo, dtype=jnp.float32)
             tables["grid_scale"] = jnp.asarray(
                 np.asarray(res, np.float64) / (self.hi - self.lo),

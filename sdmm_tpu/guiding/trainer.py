@@ -203,8 +203,19 @@ class SDMMTrainer:
         """Propagate mixture state to fresh leaf slots after tree splits."""
         if not copies:
             return
-        dst = jnp.asarray([d for d, _ in copies], dtype=jnp.int32)
-        src = jnp.asarray([s for _, s in copies], dtype=jnp.int32)
+        # Pad to pow2 buckets with out-of-bounds destinations (scatter
+        # drops them): the copy count varies every refit, and eager
+        # scatter ops compile PER SHAPE — unpadded this cost ~13 s of
+        # fresh op compiles per training iteration (round-5 profile).
+        cap = 32
+        while cap < len(copies):
+            cap *= 2
+        n_pad = cap - len(copies)
+        oob = self.cfg.max_leaves + 1
+        dst = jnp.asarray([d for d, _ in copies] + [oob] * n_pad,
+                          dtype=jnp.int32)
+        src = jnp.asarray([s for _, s in copies] + [0] * n_pad,
+                          dtype=jnp.int32)
         cp = lambda a: a.at[dst].set(a[src])
         self.sdmm = jax.tree.map(cp, self.sdmm)
         self.em = jax.tree.map(cp, self.em)
@@ -334,7 +345,22 @@ class SDMMTrainer:
 
     def optimize(self, sample_batches):
         """Tree refit + one EM step (reference ``optimize``)."""
+        import os
+        import time as _time
+
         from ..utils.stats import avg_found_conditional, avg_path_length
+
+        _dbg = os.environ.get("SDMM_TPU_TIME_OPTIMIZE") == "1"
+        _t = [_time.perf_counter()]
+
+        def _mark(name, sync=None):
+            if not _dbg:
+                return
+            if sync is not None:
+                jax.block_until_ready(sync)
+            now = _time.perf_counter()
+            print(f"  opt[{name}] {now - _t[0]:.3f}s", flush=True)
+            _t[0] = now
 
         c = self.cfg
         avg_found_conditional.add(
@@ -364,17 +390,20 @@ class SDMMTrainer:
         self._last_samples_count = int(valid.sum())
         self._last_mean_path_length = n_vertices / n_paths
 
+        _mark('concat')
         # Leaf counts for split decisions (device → host).
         leaf = find_leaf(self.tables, pos)
         counts = np.asarray(
             jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(valid.astype(jnp.int32))
         )
+        _mark('counts')
         copies = self.tree.refit(counts)
         if copies:
             self.tables = self.tree.device_tables()
             self._apply_copies(copies)
             leaf = find_leaf(self.tables, pos)
 
+        _mark('refit')
         # Jittered cross-leaf replicas (reference: sdmm_proc.cpp:932-964).
         # nJitters = 1 for the path-terminal vertex, +1 if weight > 1000
         # (all other vertices get none); each jitter offsets the position by
@@ -451,22 +480,26 @@ class SDMMTrainer:
             # multiples of 8192 to bound jit recompiles — the old
             # n_rows//3 heuristic silently dropped terminal replicas on
             # shallow scenes with <3 recorded vertices/path (ADVICE r4).
-            n_masks = np.asarray(jnp.stack([
-                jnp.sum(valid & (n_rep > 0)), jnp.sum(valid & (n_rep > 1)),
-            ]))
-            for r, kr in ((0, k1), (1, k2)):
+            # Round-0 cap is STATIC: terminal replicas are at most one per
+            # path, and the per-iteration path count is known up front —
+            # no host sync, no shape changes (shape changes recompiled
+            # every jitted consumer; measured 8x wall-clock blowup).
+            # Round-1 (weight>1000 extras) is tiny and unbounded a
+            # priori: sized from one host sync, monotone pow2 so a
+            # retrace is rare.
+            n_paths = (self.render_cfg.width * self.render_cfg.height
+                       * self.cfg.samples_per_iteration)
+            rcap0 = 8192
+            while rcap0 < n_paths:
+                rcap0 *= 2
+            n_mask1 = int(jnp.sum(valid & (n_rep > 1)))
+            rcap1 = 8192
+            while rcap1 < n_mask1:
+                rcap1 *= 2
+            rcap1 = max(rcap1, getattr(self, "_rcap1_max", 8192))
+            self._rcap1_max = rcap1
+            for r, kr, rcap in ((0, k1, rcap0), (1, k2, rcap1)):
                 mask = valid & (n_rep > r)
-                # Next power of two, monotone across iterations: rcap only
-                # ever grows, so the jitted find_leaf/compact shapes stay
-                # stable (per-iteration bucket changes recompiled every
-                # iteration — measured 8x wall-clock blowup).
-                rcap = 8192
-                while rcap < int(n_masks[r]):
-                    rcap *= 2
-                prev = getattr(self, "_rcap_max", [8192, 8192])
-                rcap = max(rcap, prev[r])
-                prev[r] = rcap
-                self._rcap_max = prev
                 filled, (cpos, cd, cw, cleaf, cdiag) = _compact(
                     mask, rcap, pos, d, wgt, leaf, diag)
                 leaf_r, pos_r = _dest_leaf(kr, cpos, cleaf, cdiag)
@@ -488,6 +521,7 @@ class SDMMTrainer:
             leaf = jnp.concatenate(parts["leaf"])
             valid = jnp.concatenate(parts["v"])
 
+        _mark('jitter', leaf)
         # Prioritized replay: merge into the fixed-capacity reservoir and fit
         # the EM on its (decayed, RR-downsampled) contents.
         if self.reservoir is not None:
@@ -508,6 +542,7 @@ class SDMMTrainer:
             # destination leaves intact across merges and refits.
             leaf = find_leaf(self.tables, self.reservoir["lookup_pos"])
 
+        _mark('reservoir')
         counts_dev = jnp.zeros(c.max_leaves, jnp.int32).at[leaf].add(
             valid.astype(jnp.int32)
         )
@@ -532,6 +567,7 @@ class SDMMTrainer:
                     self.sdmm, centers, newly & has, n_spatial=2
                 )
 
+        _mark('gate', active)
         n_inner = 2 if self.iteration < self.cfg.double_em_until else 1
         leaf_ext = self.tables["leaf_hi"] - self.tables["leaf_lo"]
         for _ in range(n_inner):
@@ -539,6 +575,7 @@ class SDMMTrainer:
                 self.sdmm, self.em, pos, d, wgt, leaf, active, c.em,
                 leaf_ext=leaf_ext,
             )
+        _mark('em', self.sdmm.weight)
         self.prep = mix.prepare(self.sdmm)
         self.initialized = self.initialized | active
         self._bump_model_version()
