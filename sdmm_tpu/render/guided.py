@@ -423,6 +423,10 @@ _ALIVE = 1 << 24
 _EXH = 1 << 25
 _PIX_MASK = (1 << 20) - 1
 _DEPTH_MASK = 0xF
+# Per-lane medium id for the media-capable pool (render_pool_guided
+# has_medium=True): meta bits 26-29 (up to 16 media rows).
+_MED_SHIFT = 26
+_MED_MASK = 0xF
 
 
 def render_pool_guided(
@@ -441,6 +445,8 @@ def render_pool_guided(
     use_kernel: bool = False,
     collect_cap: int = 0,
     saved_samples_per_path: int = 8,
+    has_medium: bool = False,
+    has_hetero: bool = False,
 ):
     """See _render_pool_guided_impl. This wrapper keeps the sample
     finalization in a SEPARATE jit: inside one jit, XLA's layout
@@ -452,7 +458,7 @@ def render_pool_guided(
     out = dict(_render_pool_guided_impl(
         scene, gs, key, n_lanes, spp, width, height, max_depth, rr_depth,
         bsdf_fraction, bsdf_types, fov_axis, use_kernel, collect_cap,
-        saved_samples_per_path,
+        saved_samples_per_path, has_medium, has_hetero,
     ))
     if collect_cap > 0:
         samp, path_rad, cursor = out.pop("_collect_raw")
@@ -467,7 +473,7 @@ def render_pool_guided(
 @partial(jax.jit, static_argnames=(
     "n_lanes", "spp", "width", "height", "max_depth", "rr_depth",
     "bsdf_fraction", "bsdf_types", "fov_axis", "use_kernel",
-    "collect_cap", "saved_samples_per_path",
+    "collect_cap", "saved_samples_per_path", "has_medium", "has_hetero",
 ))
 def _render_pool_guided_impl(
     scene,
@@ -485,6 +491,8 @@ def _render_pool_guided_impl(
     use_kernel: bool = False,
     collect_cap: int = 0,
     saved_samples_per_path: int = 8,
+    has_medium: bool = False,
+    has_hetero: bool = False,
 ):
     """Guided render of width×height at spp with a regenerating lane pool.
 
@@ -552,6 +560,8 @@ def _render_pool_guided_impl(
         exhausted = (meta & _EXH) != 0
         pix = meta & _PIX_MASK
         depth0 = (meta >> _DEPTH_SHIFT) & _DEPTH_MASK
+        if has_medium:
+            med_id = (meta >> _MED_SHIFT) & _MED_MASK
 
         # --- Regenerate dead lanes (global counter; see render_pool) ---
         need = ~alive & ~exhausted
@@ -569,6 +579,8 @@ def _render_pool_guided_impl(
         exhausted = exhausted | (need & ~in_budget)
         c["cursor"] = c["cursor"] + jnp.sum(start.astype(jnp.int32))
         pix = jnp.where(start, pix_n, pix)
+        if has_medium:
+            med_id = jnp.where(start, scene.ambient_med, med_id)
         ncols = _NCOLS + (3 if COLLECT else 0)
         fresh = jnp.concatenate([
             ro_n, rd_n, jnp.ones((n_lanes, 3)), jnp.zeros((n_lanes, 3)),
@@ -592,18 +604,43 @@ def _render_pool_guided_impl(
         hit = intersect(scene, ro, rd)
         it = surface_interaction(scene, ro, rd, hit)
 
+        if has_medium:
+            # Volumetric transport (mirrors trace_wave_guided
+            # has_medium): free-flight distance sampling against the
+            # surface hit; scattered lanes bounce via HG instead of the
+            # BSDF and are never recorded (surface-only guiding, like
+            # the reference, sdmm_proc.cpp:665-666,790-801).
+            from . import medium as med
+
+            k_med = jax.random.fold_in(k_g, 11)
+            if has_hetero:
+                ms = med.sample_distance_hetero(
+                    scene, med_id, k_med, ro, rd, hit["t"])
+            else:
+                u_m = jax.random.uniform(k_med, (n_lanes,))
+                ms = med.sample_distance(scene, med_id, u_m, hit["t"])
+            scattered = alive & ms["scattered"]
+            thr = thr * jnp.where(alive[:, None], ms["weight"], 1.0)
+        else:
+            scattered = jnp.zeros(n_lanes, dtype=bool)
+
         # in_img: vertices past max_depth exist only as training-radiance
         # targets (the scan's extra step); they never reach the image.
         in_img = depth0 < max_depth
         le = emitters.eval_emitter(scene, it, -rd)
         env = emitters.env_eval(scene, rd)
-        li = st[:, _LI] + jnp.where((alive & in_img)[:, None], thr * le, 0.0)
-        escaped = alive & ~hit["valid"]
-        li = li + jnp.where((escaped & in_img)[:, None], thr * env, 0.0)
+        le_eff0 = le + jnp.where(hit["valid"][:, None], 0.0, env)
+        if has_medium:
+            # A medium scatter happens BEFORE the surface: its emitter is
+            # not reached this step (the free-flight sample subsumes the
+            # transmittance, sdmm_proc.cpp:995-1053).
+            le_eff0 = jnp.where(scattered[:, None], 0.0, le_eff0)
+        li = st[:, _LI] + jnp.where(
+            (alive & in_img)[:, None], thr * le_eff0, 0.0)
         if COLLECT:
-            le_eff = le + jnp.where(hit["valid"][:, None], 0.0, env)
-            lt = st[:, _NCOLS:] + jnp.where(alive[:, None], thr * le_eff, 0.0)
-        on_surface = alive & hit["valid"]
+            lt = st[:, _NCOLS:] + jnp.where(alive[:, None], thr * le_eff0,
+                                            0.0)
+        on_surface = alive & hit["valid"] & ~scattered
         # Each live step increments the path length (hit = surface vertex,
         # miss = terminal escape segment) — matches the reference's
         # rRec.depth accounting (avgPathLength, sdmm_proc.cpp:873-874).
@@ -722,9 +759,12 @@ def _render_pool_guided_impl(
         ok_sample = ok_sample & ~(wo_dot_geo * wo_local[..., 2] <= 0.0)
 
         depth = depth0 + 1
-        survive = on_surface & ok_sample & (depth < max_depth + extra)
-        thr_next = thr * jnp.where(survive[:, None], bweight, 1.0)
-        eta_sq = st[:, _ETA2] * jnp.where(survive, bs["eta"] * bs["eta"], 1.0)
+        surf_cont = on_surface & ok_sample
+        survive = (surf_cont | scattered) & (depth < max_depth + extra)
+        thr_next = thr * jnp.where((surf_cont & survive)[:, None], bweight,
+                                   1.0)
+        eta_sq = st[:, _ETA2] * jnp.where(
+            surf_cont & survive, bs["eta"] * bs["eta"], 1.0)
 
         q = jax.lax.stop_gradient(
             jnp.minimum(jnp.max(thr_next, axis=-1) * eta_sq, 0.95)
@@ -780,8 +820,24 @@ def _render_pool_guided_impl(
         ro_next = it["p"] + it["ng"] * jnp.where(
             wo_dot_geo > 0, RAY_EPS, -RAY_EPS
         )[:, None]
+        wo_out = wo_world
+        if has_medium:
+            # HG phase scattering at medium events (perfectly importance-
+            # sampled: direction weight 1, albedo in ms.weight) + medium
+            # switches at crossed boundaries.
+            g_ray = scene.med_g[med_id]
+            p_med = ro + ms["t"][:, None] * rd
+            u_ph = jax.random.uniform(jax.random.fold_in(k_g, 3),
+                                      (n_lanes, 2))
+            d_med, _ = med.hg_sample(g_ray, rd, u_ph)
+            med_id = med.update_medium(
+                scene, med_id, hit["tri"], wi_dot_geo, wo_dot_geo,
+                surf_cont & survive,
+            )
+            ro_next = jnp.where(scattered[:, None], p_med, ro_next)
+            wo_out = jnp.where(scattered[:, None], d_med, wo_world)
         c["state"] = jnp.concatenate(
-            [ro_next, wo_world, thr_next, li, eta_sq[:, None]]
+            [ro_next, wo_out, thr_next, li, eta_sq[:, None]]
             + ([lt] if COLLECT else []), axis=-1
         )
         depth_packed = jnp.where(survive, depth, 0) & _DEPTH_MASK
@@ -790,6 +846,7 @@ def _render_pool_guided_impl(
             | (depth_packed << _DEPTH_SHIFT)
             | jnp.where(survive, _ALIVE, 0)
             | jnp.where(exhausted, _EXH, 0)
+            | ((med_id & _MED_MASK) << _MED_SHIFT if has_medium else 0)
         )
         c["step"] = c["step"] + 1
         return c
