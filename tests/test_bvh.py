@@ -120,6 +120,6 @@ def test_mesh_to_soup_and_render():
         "face_normals": True,
     }
     soup = shp.mesh_to_soup(mesh)
-    v, n, _uv = soup.concat()
+    v, n, _uv, _vc = soup.concat()
     assert v.shape == (2, 3, 3)
     np.testing.assert_allclose(n[:, 0, :], [[0, 0, 1], [0, 0, 1]], atol=1e-12)

@@ -11,7 +11,7 @@ def test_flat_heightfield_geometry():
     # Constant height 0.5 on a 5x5 grid -> a flat square at z = 0.5.
     data = np.full((5, 5), 0.5)
     soup = shp.make_heightfield(data)
-    v, n, uv = soup.concat()
+    v, n, uv, _ = soup.concat()
     assert v.shape == (32, 3, 3)  # 4x4 cells x 2 tris
     assert np.allclose(v[..., 2], 0.5)
     assert v[..., 0].min() == -1.0 and v[..., 0].max() == 1.0
@@ -24,7 +24,7 @@ def test_pow2_resampling():
     # 6x6 -> W-1 rounded to a power of two -> 9x9 (heightfield.cpp:512).
     data = np.zeros((6, 6))
     soup = shp.make_heightfield(data)
-    v, _, _ = soup.concat()
+    v, _, _, _ = soup.concat()
     assert v.shape[0] == 8 * 8 * 2
 
 
@@ -34,7 +34,7 @@ def test_ramp_normals_and_scale():
     xs = np.linspace(0, 2, w)  # dz/dx in object space: 2 over [-1,1] -> 1
     data = np.tile(xs, (w, 1))
     soup = shp.make_heightfield(data)
-    _, n, _ = soup.concat()
+    _, n, _, _ = soup.concat()
     expect = np.array([-1.0, 0.0, 1.0]) / np.sqrt(2.0)
     assert np.allclose(n, expect, atol=1e-6)
 
@@ -43,7 +43,7 @@ def test_face_normals_mode():
     data = np.zeros((5, 5))
     data[2, 2] = 0.3
     soup = shp.make_heightfield(data, shading_normals=False)
-    v, n, _ = soup.concat()
+    v, n, _, _ = soup.concat()
     # Face normals: every triangle's three vertex normals identical.
     assert np.allclose(n[:, 0], n[:, 1]) and np.allclose(n[:, 0], n[:, 2])
     # And all point upward.

@@ -17,8 +17,8 @@ def test_trisoup_transformed():
     m = np.eye(4)
     m[:3, 3] = [5.0, 0.0, 0.0]
     s2 = s.transformed(m)
-    v, n, _ = s2.concat()
-    v0, n0, _ = s.concat()
+    v, n, _, _ = s2.concat()
+    v0, n0, _, _ = s.concat()
     np.testing.assert_allclose(v, v0 + np.array([5.0, 0, 0]), atol=1e-6)
     np.testing.assert_allclose(n, n0, atol=1e-6)
 

@@ -124,8 +124,8 @@ f 1//2 3//2 5//2
                 s_py = shp.load_obj(path, to_world, flip, face_n)
             finally:
                 del os.environ["SDMM_TPU_NO_NATIVE"]
-            v_a, n_a, uv_a = s_nat.concat()
-            v_b, n_b, uv_b = s_py.concat()
+            v_a, n_a, uv_a, _ = s_nat.concat()
+            v_b, n_b, uv_b, _ = s_py.concat()
             assert v_a.shape == v_b.shape, (v_a.shape, v_b.shape)
             np.testing.assert_allclose(v_a, v_b, atol=1e-12)
             # Normals compared as directions (normalization may differ).

@@ -175,7 +175,7 @@ def test_disk_cylinder_hair_shapes(tmp_path):
 
     # Cylinder: lateral area ≈ 2*pi*r*h, normals unit and radial.
     cyl = shp.make_cylinder(np.zeros(3), np.array([0, 0, 2.0]), 0.5)
-    tris, ns, _ = cyl.concat()
+    tris, ns, _, _ = cyl.concat()
     area = 0.5 * np.linalg.norm(
         np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1
     ).sum()
@@ -187,7 +187,7 @@ def test_disk_cylinder_hair_shapes(tmp_path):
     hf = tmp_path / "strands.hair"
     hf.write_text("0 0 0\n0 0 1\n0 0 2\n\n1 0 0\n1 0 1\n")
     soup = shp.load_hair(str(hf), radius=0.01)
-    tris, ns, _ = soup.concat()
+    tris, ns, _, _ = soup.concat()
     assert len(tris) > 0
     assert np.all(np.isfinite(tris))
 
