@@ -23,7 +23,7 @@ import jax  # noqa: E402
 from sdmm_tpu.guiding.trainer import SDMMTrainer, TrainerConfig  # noqa: E402
 from sdmm_tpu.render.guided import (  # noqa: E402
     guided_fused_supported, render_pool_guided, render_pool_guided_fused,
-    render_pool_guided_striped,
+    render_pool_guided_sorted2, render_pool_guided_striped,
 )
 from sdmm_tpu.scene.xml_loader import load_scene  # noqa: E402
 
@@ -75,10 +75,20 @@ def main():
             bsdf_types=tuple(cfg.bsdf_types), fov_axis=cfg.fov_axis,
         )
 
+    def run_sorted2(seed):
+        return render_pool_guided_sorted2(
+            scene, gs, jax.random.PRNGKey(seed), spp=spp,
+            width=cfg.width, height=cfg.height, spp_pilot=min(8, spp // 2),
+            max_depth=cfg.max_depth, rr_depth=cfg.rr_depth,
+            bsdf_fraction=0.5, bsdf_types=tuple(cfg.bsdf_types),
+            fov_axis=cfg.fov_axis,
+        )
+
     runners = [("xla", lambda s: run(s, False)),
                ("pallas-kernel", lambda s: run(s, True)),
                ("fused", run_fused),
-               ("striped", run_striped)]
+               ("striped", run_striped),
+               ("sorted2", run_sorted2)]
     for label, rn in runners:
         for w in range(2):
             float(rn(w)["n_vertices"])

@@ -97,7 +97,13 @@ def main():
     from sdmm_tpu.utils.metrics import all_metrics
 
     os.makedirs(args.out, exist_ok=True)
+    # Merge into an existing results.json so the protocol matrix can be
+    # built incrementally (one invocation per scene/integrator batch).
+    results_path = os.path.join(args.out, "results.json")
     results = {}
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
     for scene_path in args.scenes:
         if scene_path.startswith("synthetic:"):
             name = scene_path.split(":", 1)[1]
@@ -117,25 +123,32 @@ def main():
         scene_dir = os.path.join(args.out, name)
         os.makedirs(scene_dir, exist_ok=True)
 
-        print(f"[{name}] rendering GT @ {args.gt_spp} spp...", flush=True)
-        t0 = time.time()
         from sdmm_tpu.render.wavefront import render_wavefront
 
-        # Chunked GT: one multi-thousand-spp pool call is a single huge
-        # device dispatch; observed to crash the TPU worker (relay
-        # watchdog) on unfused scenes. Equal-spp chunks average exactly.
-        chunk = min(args.gt_spp, 512)
-        acc = None
-        for ci in range(args.gt_spp // chunk):
-            g = render_wavefront(scene, cfg, spp=chunk, seed=99 + ci,
-                                 nee=True)
-            img_c = np.asarray(g["image"])
-            acc = img_c if acc is None else acc + img_c
-        gt_img = acc / max(1, args.gt_spp // chunk)
-        write_exr(os.path.join(scene_dir, "gt.exr"), gt_img)
-        print(f"[{name}] GT done in {time.time()-t0:.1f}s")
+        gt_file = os.path.join(scene_dir, "gt.exr")
+        if os.path.exists(gt_file):
+            from sdmm_tpu.utils.exr import read_exr
 
-        results[name] = {}
+            gt_img = read_exr(gt_file)
+            print(f"[{name}] reusing existing GT {gt_file}", flush=True)
+        else:
+            print(f"[{name}] rendering GT @ {args.gt_spp} spp...", flush=True)
+            t0 = time.time()
+            # Chunked GT: one multi-thousand-spp pool call is a single huge
+            # device dispatch; observed to crash the TPU worker (relay
+            # watchdog) on unfused scenes. Equal-spp chunks average exactly.
+            chunk = min(args.gt_spp, 512)
+            acc = None
+            for ci in range(args.gt_spp // chunk):
+                g = render_wavefront(scene, cfg, spp=chunk, seed=99 + ci,
+                                     nee=True)
+                img_c = np.asarray(g["image"])
+                acc = img_c if acc is None else acc + img_c
+            gt_img = acc / max(1, args.gt_spp // chunk)
+            write_exr(gt_file, gt_img)
+            print(f"[{name}] GT done in {time.time()-t0:.1f}s")
+
+        results.setdefault(name, {})
         for integ in args.integrators.split(","):
             t0 = time.time()
             spi = 4  # reference cadence: 4 spp / iteration
@@ -190,8 +203,11 @@ def main():
                 with open(os.path.join(scene_dir, f"{integ}_stats.json"), "w") as f:
                     json.dump(stats, f, indent=2)
             print(f"[{name}] {integ}: {json.dumps(m)}")
+            # Persist after every row: a crash mid-matrix keeps finished rows.
+            with open(results_path, "w") as f:
+                json.dump(results, f, indent=2)
 
-    with open(os.path.join(args.out, "results.json"), "w") as f:
+    with open(results_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 

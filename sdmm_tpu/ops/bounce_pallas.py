@@ -684,8 +684,11 @@ def _make_core(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             w_g = jnp.where(is_cond, b_sg * f_cg, w_g)
             w_b = jnp.where(is_cond, b_sb * f_cb, w_b)
             pdf_s = jnp.where(is_cond, 1.0, pdf_s)
-            good = jnp.where(is_cond, (f_cr > 0) | (f_cg > 0) | (f_cb > 0),
-                             good)
+            # Pure-i1 blend: jnp.where on bool vectors lowers to an
+            # i8->i1 arith.trunci that Mosaic rejects ("Unsupported
+            # target bitwidth for truncation").
+            good = (good & ~is_cond) | (
+                is_cond & ((f_cr > 0) | (f_cg > 0) | (f_cb > 0)))
             sampled_delta = sampled_delta | is_cond
 
         if has_diel:
@@ -707,8 +710,8 @@ def _make_core(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             w_g = jnp.where(is_diel, w_dg, w_g)
             w_b = jnp.where(is_diel, w_db, w_b)
             pdf_s = jnp.where(is_diel, jnp.where(refl, fr, 1.0 - fr), pdf_s)
-            good = jnp.where(is_diel, (w_dr > 0) | (w_dg > 0) | (w_db > 0),
-                             good)
+            good = (good & ~is_diel) | (
+                is_diel & ((w_dr > 0) | (w_dg > 0) | (w_db > 0)))
             sampled_delta = sampled_delta | is_diel
             eta_factor = jnp.where(is_diel & ~refl, eta_it, eta_factor)
 
@@ -734,8 +737,8 @@ def _make_core(n_tris: int, n_cols: int, n_em: int, max_depth: int,
             w_g = jnp.where(is_rc, jnp.where(ok_r, w_rg_, 0.0), w_g)
             w_b = jnp.where(is_rc, jnp.where(ok_r, w_rb_, 0.0), w_b)
             pdf_s = jnp.where(is_rc, jnp.where(ok_r, pdf_r, 0.0), pdf_s)
-            good = jnp.where(is_rc, ok_r & ((w_rr_ > 0) | (w_rg_ > 0)
-                                            | (w_rb_ > 0)), good)
+            good = (good & ~is_rc) | (
+                is_rc & ok_r & ((w_rr_ > 0) | (w_rg_ > 0) | (w_rb_ > 0)))
 
         # Local -> world.
         wox = sx * wo_x + tx_ * wo_y + nx * wo_z

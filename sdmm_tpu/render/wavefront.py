@@ -306,10 +306,10 @@ def fused_supported(scene, cfg, nee: bool = True) -> bool:
     untextured area-light scenes using only in-kernel BSDF models and
     small enough for the unrolled in-VMEM triangle sweep.
 
-    SDMM_TPU_NO_FUSED=1 opts out (operational escape hatch; known open
-    issue: the dielectric branch trips a Mosaic 'unsupported target
-    bitwidth for truncation' compile error on real TPU for some type
-    combinations — CPU tests run in interpret mode and don't see it)."""
+    SDMM_TPU_NO_FUSED=1 opts out (operational escape hatch only; the
+    former dielectric Mosaic compile error — a bool-vector jnp.where
+    lowering to an unsupported i8->i1 truncation — is fixed by pure-i1
+    mask blends in the bounce kernel, verified on real TPU)."""
     import os
 
     from ..ops import bounce_pallas as bp
