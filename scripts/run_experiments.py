@@ -137,7 +137,10 @@ def main():
             # Chunked GT: one multi-thousand-spp pool call is a single huge
             # device dispatch; observed to crash the TPU worker (relay
             # watchdog) on unfused scenes. Equal-spp chunks average exactly.
-            chunk = min(args.gt_spp, 512)
+            # 512-spp chunks crashed the worker on both unfused (textured)
+            # and heavy fused (dielectric-sphere) scenes — 128 keeps every
+            # chunk under the relay watchdog on all observed scenes.
+            chunk = min(args.gt_spp, 128)
             acc = None
             for ci in range(args.gt_spp // chunk):
                 g = render_wavefront(scene, cfg, spp=chunk, seed=99 + ci,
