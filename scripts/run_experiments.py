@@ -52,11 +52,15 @@ def synthetic_scene(name):
             b.add_bsdf(BSDF_ROUGHCONDUCTOR, specular=[0.8, 0.8, 0.8],
                        eta=0.2, k=[3.0, 3.0, 3.0], alpha=0.15),
         ]
-        for i in range(70):
+        # 20 x 200-tri spheres + box = 4036 tris: inside the fused-engine
+        # gate (MAX_TRIS 4096) so GT/path run the megakernel; the former
+        # 70 x 1600-tri version forced the large-mesh cluster path, which
+        # is orders too slow for a 16384-spp GT (PERF.md C14).
+        for i in range(20):
             c = rng.uniform([-0.85, 0.05, -0.85], [0.85, 1.8, 0.85])
             b.add_shape(
-                shp.make_sphere(c, rng.uniform(0.04, 0.13),
-                                n_theta=20, n_phi=40),
+                shp.make_sphere(c, rng.uniform(0.06, 0.16),
+                                n_theta=10, n_phi=10),
                 mats[i % len(mats)],
             )
     else:
